@@ -1,0 +1,150 @@
+"""DELTA_BINARY_PACKED: delta + frame-of-reference + miniblock bit-packing.
+
+The reference only *decodes* this encoding (fastparquet/cencoding.pyx:240-283
+``delta_binary_unpack`` with miniblock reader :216-237); the encoder here is
+new, following the parquet-format spec layout the reference decodes:
+
+    header:  uvarint block_size | uvarint miniblocks_per_block |
+             uvarint total_count | zigzag-varint first_value
+    block*:  zigzag-varint min_delta | uint8 bit_width[miniblocks] |
+             bit-packed (delta - min_delta) per miniblock
+
+We use block_size=128, miniblocks=4 (32 values each) — the layout of the
+spec's worked examples (reference: fastparquet/test/test_encoding.py:133-176).
+
+Vectorization: deltas come from one ``np.diff``; per-block min and per-
+miniblock bit widths come from reshaped (nblocks, 4, 32) reductions; packing
+loops only over *miniblocks grouped by bit width*, each group packed with a
+single vectorized call (at most 65 groups regardless of row count).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from . import bitpack
+from .varint import (
+    decode_uvarint,
+    encode_uvarint,
+    zigzag_decode_scalar,
+    zigzag_encode_scalar,
+)
+
+BLOCK_SIZE = 128
+MINIBLOCKS = 4
+MB_SIZE = BLOCK_SIZE // MINIBLOCKS  # 32
+
+
+def encode(values: np.ndarray) -> bytes:
+    """Encode an int64 array (any signedness fits after zigzag of deltas)."""
+    v = np.ascontiguousarray(values, dtype=np.int64)
+    n = len(v)
+    out = bytearray()
+    out.extend(encode_uvarint(BLOCK_SIZE))
+    out.extend(encode_uvarint(MINIBLOCKS))
+    out.extend(encode_uvarint(n))
+    first = int(v[0]) if n else 0
+    out.extend(encode_uvarint(zigzag_encode_scalar(first)))
+    if n <= 1:
+        return bytes(out)
+
+    deltas = np.diff(v)  # length n-1
+    nd = len(deltas)
+    nblocks = (nd + BLOCK_SIZE - 1) // BLOCK_SIZE
+    # Pad with the block's min delta later; pad with 0 now and fix widths by
+    # masking padded tail out of the max-reduction.
+    padded = np.zeros(nblocks * BLOCK_SIZE, dtype=np.int64)
+    padded[:nd] = deltas
+    blocks = padded.reshape(nblocks, MINIBLOCKS, MB_SIZE)
+    valid = np.zeros(nblocks * BLOCK_SIZE, dtype=bool)
+    valid[:nd] = True
+    validb = valid.reshape(nblocks, MINIBLOCKS, MB_SIZE)
+
+    # Per-block min over valid deltas only.
+    big = np.where(validb, blocks, np.int64(2**62))
+    min_delta = big.min(axis=(1, 2))  # (nblocks,)
+    adj = (blocks - min_delta[:, None, None]).astype(np.uint64)
+    adj[~validb] = 0  # padded positions pack as zero bits
+    # Per-miniblock bit width.
+    mb_max = adj.max(axis=2)  # (nblocks, MINIBLOCKS)
+    widths = np.zeros_like(mb_max, dtype=np.uint8)
+    nz = mb_max > 0
+    if nz.any():
+        widths[nz] = np.ceil(np.log2(mb_max[nz].astype(np.float64) + 1)).astype(np.uint8)
+        # log2 rounding guard: widen where max doesn't fit
+        under = (mb_max >> widths.astype(np.uint64)) > 0
+        widths[under] += 1
+    # Miniblocks past the last valid value get width 0 (spec allows; decoder
+    # must not read payload for them).
+    mb_has_valid = validb.any(axis=2)
+    widths[~mb_has_valid] = 0
+
+    # Pack each miniblock; group by width so each group is one vectorized call.
+    flat_mb = adj.reshape(nblocks * MINIBLOCKS, MB_SIZE)
+    flat_w = widths.reshape(-1)
+    payloads: list[bytes] = [b""] * len(flat_w)
+    for w in np.unique(flat_w):
+        if w == 0:
+            continue
+        idx = np.flatnonzero(flat_w == w)
+        stacked = flat_mb[idx]  # (k, 32)
+        packed = bitpack.pack(stacked.reshape(-1), int(w))
+        step = MB_SIZE * int(w) // 8
+        for j, mi in enumerate(idx):
+            payloads[mi] = packed[j * step : (j + 1) * step]
+
+    for b in range(nblocks):
+        out.extend(encode_uvarint(zigzag_encode_scalar(int(min_delta[b]))))
+        out.extend(widths[b].tobytes())
+        for m in range(MINIBLOCKS):
+            out.extend(payloads[b * MINIBLOCKS + m])
+    return bytes(out)
+
+
+def decode(raw: bytes, count: int | None = None) -> np.ndarray:
+    """Decode DELTA_BINARY_PACKED -> int64 array.
+
+    Matches the reference decoder's semantics (cencoding.pyx:240-283),
+    including reading full miniblock payloads for partially-valid blocks.
+    """
+    buf = memoryview(raw)
+    pos = 0
+    block_size, pos = decode_uvarint(buf, pos)
+    miniblocks, pos = decode_uvarint(buf, pos)
+    n, pos = decode_uvarint(buf, pos)
+    zz_first, pos = decode_uvarint(buf, pos)
+    first = zigzag_decode_scalar(zz_first)
+    out = np.empty(n, dtype=np.int64)
+    if n == 0:
+        return out
+    out[0] = first
+    if n == 1:
+        return out
+    mb_size = block_size // miniblocks
+    nd = n - 1
+    deltas = np.empty(0, dtype=np.int64)
+    chunks: list[np.ndarray] = []
+    got = 0
+    while got < nd:
+        zz_min, pos = decode_uvarint(buf, pos)
+        min_delta = zigzag_decode_scalar(zz_min)
+        widths = np.frombuffer(buf[pos : pos + miniblocks], dtype=np.uint8)
+        pos += miniblocks
+        for m in range(miniblocks):
+            if got >= nd:
+                break
+            w = int(widths[m])
+            if w == 0:
+                vals = np.zeros(mb_size, dtype=np.uint64)
+            else:
+                nbytes = mb_size * w // 8
+                vals = bitpack.unpack(
+                    np.frombuffer(buf[pos : pos + nbytes], dtype=np.uint8), w, mb_size
+                )
+                pos += nbytes
+            take = min(mb_size, nd - got)
+            chunks.append(vals[:take].astype(np.int64) + min_delta)
+            got += take
+    deltas = np.concatenate(chunks)
+    out[1:] = deltas[:nd]
+    np.cumsum(out, out=out)
+    return out

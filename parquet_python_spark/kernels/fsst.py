@@ -1,0 +1,259 @@
+"""FSST-style symbol-table string compression (new — absent from the
+reference; fastparquet's string encodings are only PLAIN byte-array and
+dictionary, see fastparquet/writer.py:411-414).
+
+Follows the published FSST idea (Boncz, Neumann, Leis: "FSST: Fast Random
+Access String Compression", VLDB 2020): a per-block table of at most 255
+symbols of 1..8 bytes, each string encoded as a sequence of 1-byte codes,
+with an escape mechanism for bytes not covered by the table.
+
+Implementation choices made for *whole-buffer numpy vectorization* (the
+per-row-Python ban of this build):
+
+* The symbol table is built by up to 3 rounds of byte-pair merging over a
+  sample (each round counts pair frequencies with one ``np.bincount``,
+  then merges the winning pairs across the whole buffer with one vectorized
+  substitution pass) — symbols therefore have power-of-two-ish lengths up
+  to 8 bytes, a simplification of FSST's generation loop with the same
+  table shape.
+* Escapes use code 255 plus a *side literal buffer* instead of an inline
+  escaped byte: the code stream stays context-free, so the decoder
+  classifies every position with pure array ops (an inline escape would
+  make literal-vs-marker classification sequential).
+* Greedy-left overlap resolution during merging is done with the run-parity
+  trick (within each run of consecutive candidate positions, keep the even
+  offsets), which is exactly greedy-left, vectorized.
+
+Block layout:
+    u8  n_merged | (u8 len, bytes expansion) * n_merged
+    u8  n_codes  | u16 code_to_id[n_codes]              (LE)
+    u32 n_rows   | i32 row_code_offsets[n_rows + 1]     (LE)
+    u32 code_len | code stream bytes
+    u32 side_len | side literal bytes
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+SENTINEL = 511          # row separator in symbol space; never merged
+BASE = 256              # symbol ids 0..255 are literal bytes
+MAX_MERGED = 128        # merged-symbol budget (leaves codes for base bytes)
+N_CODES = 255           # codes 0..254 are table symbols; 255 = escape
+ESCAPE = 255
+ROUNDS = 3              # symbol length up to 2**ROUNDS = 8 bytes
+SAMPLE_BYTES = 1 << 20  # table is built from at most 1 MiB of sample
+
+
+def _strings_to_symbols(arr: pa.Array) -> tuple[np.ndarray, int]:
+    """Arrow string array -> uint16 symbol stream with SENTINEL between rows.
+
+    Returns (stream, n_rows).  Row boundaries are recoverable because
+    SENTINEL never merges and never serializes.
+    """
+    if pa.types.is_large_string(arr.type):
+        arr = arr.cast(pa.string())
+    n = len(arr)
+    offsets = np.frombuffer(arr.buffers()[1], dtype="<i4", count=arr.offset + n + 1)[arr.offset:]
+    data_buf = arr.buffers()[2]
+    data = (
+        np.frombuffer(data_buf, dtype=np.uint8)[offsets[0] : offsets[-1]]
+        if data_buf is not None
+        else np.zeros(0, np.uint8)
+    )
+    lengths = np.diff(offsets)
+    total = len(data) + n  # one sentinel after each row
+    stream = np.empty(total, dtype=np.uint16)
+    # Positions of sentinels: after each row's bytes, shifted by row index.
+    sent_pos = (offsets[1:] - offsets[0]) + np.arange(1, n + 1) - 1
+    mask = np.ones(total, dtype=bool)
+    mask[sent_pos] = False
+    stream[~mask] = SENTINEL
+    stream[mask] = data
+    return stream, n
+
+
+def _greedy_left(cand: np.ndarray) -> np.ndarray:
+    """Positions chosen by greedy-left from a boolean candidate mask:
+    within each run of consecutive True, the even offsets."""
+    idx = np.flatnonzero(cand)
+    if len(idx) == 0:
+        return idx
+    run_start = np.empty(len(idx), dtype=bool)
+    run_start[0] = True
+    run_start[1:] = np.diff(idx) > 1
+    # offset within run = idx - value of run start, computed via forward fill
+    starts = idx[run_start]
+    run_id = np.cumsum(run_start) - 1
+    offset = idx - starts[run_id]
+    return idx[offset % 2 == 0]
+
+
+def _apply_merges(stream: np.ndarray, lut: np.ndarray) -> np.ndarray:
+    """One merge round: replace chosen pairs (a[i], a[i+1]) with lut value."""
+    if len(stream) < 2:
+        return stream
+    keys = stream[:-1].astype(np.uint32) * 512 + stream[1:]
+    new_ids = lut[keys]
+    cand = new_ids != 0xFFFF
+    chosen = _greedy_left(cand)
+    if len(chosen) == 0:
+        return stream
+    stream = stream.copy()
+    stream[chosen] = new_ids[chosen]
+    delete = np.zeros(len(stream), dtype=bool)
+    delete[chosen + 1] = True
+    return stream[~delete]
+
+
+def _build_table(sample: np.ndarray) -> tuple[list[np.ndarray], list[bytes]]:
+    """Build merge rounds from a symbol sample.
+
+    Returns (luts, expansions) where luts[r] maps pair-key -> merged id for
+    round r and expansions[j] is the byte expansion of merged id BASE + j.
+    """
+    expansions: list[bytes] = []
+    luts: list[np.ndarray] = []
+    exp_of: dict[int, bytes] = {}
+    stream = sample
+    next_id = BASE
+    for _ in range(ROUNDS):
+        if next_id - BASE >= MAX_MERGED or len(stream) < 2:
+            luts.append(np.full(512 * 512, 0xFFFF, dtype=np.uint16))
+            continue
+        keys = stream[:-1].astype(np.uint32) * 512 + stream[1:]
+        # Exclude pairs touching the sentinel.
+        ok = (stream[:-1] != SENTINEL) & (stream[1:] != SENTINEL)
+        counts = np.bincount(keys[ok], minlength=512 * 512)
+        budget = MAX_MERGED - (next_id - BASE)
+        # A merge saves (count - overhead) bytes; require a real win.
+        top = np.argsort(counts)[::-1][: budget * 2]
+        lut = np.full(512 * 512, 0xFFFF, dtype=np.uint16)
+        made = 0
+        for key in top:
+            if made >= budget or counts[key] < 16:
+                break
+            x, y = int(key) // 512, int(key) % 512
+            ex = exp_of.get(x, bytes([x]) if x < BASE else b"")
+            ey = exp_of.get(y, bytes([y]) if y < BASE else b"")
+            if len(ex) + len(ey) > 8:
+                continue
+            lut[key] = next_id
+            exp_of[next_id] = ex + ey
+            expansions.append(ex + ey)
+            next_id += 1
+            made += 1
+        luts.append(lut)
+        if made == 0:
+            continue
+        stream = _apply_merges(stream, lut)
+    return luts, expansions
+
+
+def encode(arr: pa.Array) -> bytes:
+    """FSST-encode an Arrow string array (non-null) -> block bytes."""
+    stream, n_rows = _strings_to_symbols(arr)
+    sample = stream[:SAMPLE_BYTES]
+    luts, expansions = _build_table(sample)
+    for lut in luts:
+        stream = _apply_merges(stream, lut)
+
+    # --- assign output codes: all merged ids, then most frequent base bytes
+    n_merged = len(expansions)
+    freq = np.bincount(stream[stream != SENTINEL], minlength=512)
+    base_order = np.argsort(freq[:BASE])[::-1]
+    n_base_codes = min(N_CODES - n_merged, BASE)
+    code_to_id = np.empty(n_merged + n_base_codes, dtype=np.uint16)
+    code_to_id[:n_merged] = np.arange(BASE, BASE + n_merged)
+    code_to_id[n_merged:] = base_order[:n_base_codes]
+    id_to_code = np.full(512, ESCAPE, dtype=np.uint16)
+    id_to_code[code_to_id] = np.arange(len(code_to_id))
+
+    # --- serialize symbol stream -> code stream + side literals
+    is_sent = stream == SENTINEL
+    syms = stream[~is_sent]
+    codes = id_to_code[syms].astype(np.uint8)
+    escaped = id_to_code[syms] == ESCAPE
+    side = syms[escaped].astype(np.uint8)  # escaped ids are always < 256
+
+    # --- per-row code offsets: row of each symbol via sentinel cumsum
+    row_of = np.cumsum(is_sent) - is_sent  # row index per stream position
+    sym_rows = row_of[~is_sent]
+    per_row = np.bincount(sym_rows, minlength=n_rows)
+    row_offsets = np.zeros(n_rows + 1, dtype="<i4")
+    np.cumsum(per_row, out=row_offsets[1:])
+
+    out = bytearray()
+    out.append(n_merged)
+    for exp in expansions:
+        out.append(len(exp))
+        out.extend(exp)
+    out.append(len(code_to_id) & 0xFF)
+    out.extend(code_to_id.astype("<u2").tobytes())
+    out.extend(np.uint32(n_rows).tobytes())
+    out.extend(row_offsets.tobytes())
+    out.extend(np.uint32(len(codes)).tobytes())
+    out.extend(codes.tobytes())
+    out.extend(np.uint32(len(side)).tobytes())
+    out.extend(side.tobytes())
+    return bytes(out)
+
+
+def decode(raw: bytes) -> pa.Array:
+    """Inverse of :func:`encode` -> Arrow string array."""
+    buf = memoryview(raw)
+    pos = 0
+    n_merged = buf[pos]
+    pos += 1
+    exp_bytes = np.zeros((n_merged + BASE, 8), dtype=np.uint8)
+    exp_len = np.ones(n_merged + BASE, dtype=np.int64)
+    # ids 0..255 expand to themselves
+    exp_bytes[:BASE, 0] = np.arange(BASE)
+    for j in range(n_merged):
+        ln = buf[pos]
+        pos += 1
+        exp_bytes[BASE + j, :ln] = np.frombuffer(buf[pos : pos + ln], dtype=np.uint8)
+        exp_len[BASE + j] = ln
+        pos += ln
+    n_codes = buf[pos] or 256  # 0 means 256 — but N_CODES<=255 so always literal
+    pos += 1
+    code_to_id = np.frombuffer(buf[pos : pos + 2 * n_codes], dtype="<u2").astype(np.int64)
+    pos += 2 * n_codes
+    n_rows = int(np.frombuffer(buf[pos : pos + 4], dtype="<u4")[0])
+    pos += 4
+    row_offsets = np.frombuffer(buf[pos : pos + 4 * (n_rows + 1)], dtype="<i4")
+    pos += 4 * (n_rows + 1)
+    code_len = int(np.frombuffer(buf[pos : pos + 4], dtype="<u4")[0])
+    pos += 4
+    codes = np.frombuffer(buf[pos : pos + code_len], dtype=np.uint8)
+    pos += code_len
+    side_len = int(np.frombuffer(buf[pos : pos + 4], dtype="<u4")[0])
+    pos += 4
+    side = np.frombuffer(buf[pos : pos + side_len], dtype=np.uint8)
+
+    # --- resolve each code position to a symbol id
+    esc = codes == ESCAPE
+    ids = np.empty(len(codes), dtype=np.int64)
+    if len(codes):
+        ids[~esc] = code_to_id[codes[~esc]]
+        ids[esc] = side.astype(np.int64)  # literal byte ids
+    out_len = exp_len[ids] if len(codes) else np.zeros(0, dtype=np.int64)
+
+    # --- output byte offsets per code position, then scatter expansions
+    out_off = np.zeros(len(codes) + 1, dtype=np.int64)
+    np.cumsum(out_len, out=out_off[1:])
+    total = int(out_off[-1])
+    data = np.empty(total, dtype=np.uint8)
+    for j in range(8):
+        m = out_len > j
+        if not m.any():
+            break
+        data[out_off[:-1][m] + j] = exp_bytes[ids[m], j]
+
+    # --- row byte offsets: cumsum of out_len sliced at row code offsets
+    row_byte_offsets = out_off[row_offsets.astype(np.int64)].astype("<i4")
+    return pa.Array.from_buffers(
+        pa.string(),
+        n_rows,
+        [None, pa.py_buffer(row_byte_offsets.tobytes()), pa.py_buffer(data.tobytes())],
+    )

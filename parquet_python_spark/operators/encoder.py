@@ -1,0 +1,256 @@
+"""Column-block encode/decode: framing + dtype dispatch + null handling.
+
+Re-creates the reference's page/column-chunk layering (write side:
+fastparquet/writer.py:487-758 ``write_column``; read side:
+fastparquet/core.py:430-588 ``read_col``) as a self-contained *block*:
+one blob per (partition, column) that carries its own header, definition
+levels, and payload — no thrift, no external footer.
+
+Block layout (little-endian):
+    magic  b"PQSB" | version u8 | codec u8 | compression u8 | dtype u8 |
+    n_values u32 | n_nulls u32 | raw_len u64 |
+    [compressed] payload
+
+Payload when n_nulls > 0:
+    u32 def_len | RLE/BP-hybrid width-1 stream of notnull flags
+    (mirrors ``make_definitions``, fastparquet/writer.py:417-451)
+    | value payload over the n_values - n_nulls non-null values only
+
+Null re-expansion on decode builds an Arrow validity bitmap from the
+definition levels (reference analogue: fastparquet/core.py:51-82).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..kernels import bitpack, compression, delta, dictionary, fsst, plain, rle
+
+MAGIC = b"PQSB"
+VERSION = 1
+
+# codec ids
+PLAIN = 0
+DICT = 1
+RLE_FOR = 2      # frame-of-reference + RLE/BP hybrid (ints)
+DELTA = 3        # DELTA_BINARY_PACKED (ints)
+BITPACK = 4      # frame-of-reference + fixed-width bit-pack (ints, bools)
+FSST = 5         # strings
+
+CODEC_NAMES = {PLAIN: "plain", DICT: "dict", RLE_FOR: "rle", DELTA: "delta",
+               BITPACK: "bitpack", FSST: "fsst"}
+CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
+
+# logical dtype ids
+DT_INT64 = 0
+DT_INT32 = 1
+DT_FLOAT64 = 2
+DT_FLOAT32 = 3
+DT_BOOL = 4
+DT_STRING = 5
+DT_BINARY = 6
+DT_TIMESTAMP_US = 7
+DT_DATE32 = 8
+DT_INT16 = 9
+DT_INT8 = 10
+
+_DT_NUMPY = {
+    DT_INT64: "int64", DT_INT32: "int32", DT_INT16: "int16", DT_INT8: "int8",
+    DT_FLOAT64: "float64", DT_FLOAT32: "float32", DT_BOOL: "bool",
+    DT_TIMESTAMP_US: "timestamp_us", DT_DATE32: "date32",
+}
+_DT_ARROW = {
+    DT_INT64: pa.int64(), DT_INT32: pa.int32(), DT_INT16: pa.int16(),
+    DT_INT8: pa.int8(), DT_FLOAT64: pa.float64(), DT_FLOAT32: pa.float32(),
+    DT_BOOL: pa.bool_(), DT_STRING: pa.string(), DT_BINARY: pa.binary(),
+    DT_TIMESTAMP_US: pa.timestamp("us"), DT_DATE32: pa.date32(),
+}
+_INT_DTS = {DT_INT64, DT_INT32, DT_INT16, DT_INT8, DT_TIMESTAMP_US, DT_DATE32}
+
+
+def dtype_id_for_arrow(t: pa.DataType) -> int:
+    if pa.types.is_int64(t):
+        return DT_INT64
+    if pa.types.is_int32(t):
+        return DT_INT32
+    if pa.types.is_int16(t):
+        return DT_INT16
+    if pa.types.is_int8(t):
+        return DT_INT8
+    if pa.types.is_float64(t):
+        return DT_FLOAT64
+    if pa.types.is_float32(t):
+        return DT_FLOAT32
+    if pa.types.is_boolean(t):
+        return DT_BOOL
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return DT_STRING
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return DT_BINARY
+    if pa.types.is_timestamp(t):
+        return DT_TIMESTAMP_US
+    if pa.types.is_date32(t):
+        return DT_DATE32
+    raise TypeError(f"unsupported arrow type {t}")
+
+
+def _to_int_view(arr: pa.Array, dt: int) -> np.ndarray:
+    """Non-null arrow numeric array -> int64 numpy view for int codecs."""
+    if dt == DT_TIMESTAMP_US:
+        return np.asarray(arr.cast(pa.int64()), dtype=np.int64)
+    if dt == DT_DATE32:
+        return np.asarray(arr.cast(pa.int32()), dtype=np.int64)
+    if dt == DT_BOOL:
+        return np.asarray(arr.cast(pa.int8()), dtype=np.int64)
+    return np.asarray(arr, dtype=np.int64)
+
+
+def _from_int_view(values: np.ndarray, dt: int) -> pa.Array:
+    if dt == DT_TIMESTAMP_US:
+        return pa.array(values.astype("int64"), type=pa.int64()).cast(pa.timestamp("us"))
+    if dt == DT_DATE32:
+        return pa.array(values.astype("int32"), type=pa.int32()).cast(pa.date32())
+    if dt == DT_BOOL:
+        return pa.array(values.astype(bool))
+    np_t = {DT_INT64: "int64", DT_INT32: "int32", DT_INT16: "int16", DT_INT8: "int8"}[dt]
+    return pa.array(values.astype(np_t), type=_DT_ARROW[dt])
+
+
+def _encode_values(arr: pa.Array, dt: int, codec: int) -> bytes:
+    """Encode a *non-null* arrow array with the given codec."""
+    if codec == PLAIN:
+        if dt in (DT_STRING, DT_BINARY):
+            return plain.encode_strings(arr)
+        if dt in _INT_DTS or dt == DT_BOOL:
+            v = _to_int_view(arr, dt)
+            np_t = {DT_INT64: "<i8", DT_INT32: "<i4", DT_INT16: "<i2", DT_INT8: "<i1",
+                    DT_TIMESTAMP_US: "<i8", DT_DATE32: "<i4", DT_BOOL: "<u1"}[dt]
+            return v.astype(np_t).tobytes()
+        return np.asarray(arr).astype({DT_FLOAT64: "<f8", DT_FLOAT32: "<f4"}[dt]).tobytes()
+    if codec == DICT:
+        if dt in (DT_STRING, DT_BINARY):
+            # binary shares the (offsets, data) label layout with string
+            return dictionary.encode_string(arr)
+        if dt in (DT_FLOAT64, DT_FLOAT32):
+            v = np.asarray(arr, dtype="float64" if dt == DT_FLOAT64 else "float32")
+            return dictionary.encode_fixed(v)
+        v = _to_int_view(arr, dt)
+        return dictionary.encode_fixed(v)
+    if codec == FSST:
+        if dt != DT_STRING:
+            raise TypeError("FSST is for string columns")
+        return fsst.encode(arr)
+    # integer codecs
+    v = _to_int_view(arr, dt)
+    if codec == DELTA:
+        return delta.encode(v)
+    if codec in (RLE_FOR, BITPACK):
+        lo = int(v.min()) if len(v) else 0
+        shifted = (v - lo).astype(np.uint64)
+        width = bitpack.width_from_max(int(shifted.max()) if len(v) else 0)
+        head = np.int64(lo).tobytes() + bytes([width])
+        if codec == RLE_FOR:
+            return head + rle.encode(shifted, width)
+        return head + bitpack.pack(shifted, width)
+    raise ValueError(f"unknown codec {codec}")
+
+
+def _decode_values(raw: bytes, dt: int, codec: int, count: int) -> pa.Array:
+    if codec == PLAIN:
+        if dt in (DT_STRING, DT_BINARY):
+            return plain.decode_strings(raw, binary=(dt == DT_BINARY))
+        np_t = {DT_INT64: "<i8", DT_INT32: "<i4", DT_INT16: "<i2", DT_INT8: "<i1",
+                DT_TIMESTAMP_US: "<i8", DT_DATE32: "<i4", DT_BOOL: "<u1",
+                DT_FLOAT64: "<f8", DT_FLOAT32: "<f4"}[dt]
+        v = np.frombuffer(raw, dtype=np_t, count=count)
+        if dt in (DT_FLOAT64, DT_FLOAT32):
+            return pa.array(v, type=_DT_ARROW[dt])
+        return _from_int_view(v.astype(np.int64), dt)
+    if codec == DICT:
+        if dt in (DT_STRING, DT_BINARY):
+            return dictionary.decode_string(raw, count, binary=(dt == DT_BINARY))
+        if dt in (DT_FLOAT64, DT_FLOAT32):
+            np_t = "float64" if dt == DT_FLOAT64 else "float32"
+            return pa.array(dictionary.decode_fixed(raw, np_t, count), type=_DT_ARROW[dt])
+        labels = dictionary.decode_fixed(raw, "int64", count)
+        return _from_int_view(labels, dt)
+    if codec == FSST:
+        return fsst.decode(raw)
+    if codec == DELTA:
+        return _from_int_view(delta.decode(raw, count), dt)
+    if codec in (RLE_FOR, BITPACK):
+        lo = int(np.frombuffer(raw[:8], dtype="<i8")[0])
+        width = raw[8]
+        body = raw[9:]
+        if codec == RLE_FOR:
+            shifted = rle.decode(body, width, count)
+        else:
+            shifted = bitpack.unpack(body, width, count)
+        return _from_int_view(shifted.astype(np.int64) + lo, dt)
+    raise ValueError(f"unknown codec {codec}")
+
+
+def encode_block(arr: pa.Array, codec: int, comp: int = compression.UNCOMPRESSED) -> bytes:
+    """Encode one column chunk (arrow array, possibly with nulls) -> block."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_timestamp(arr.type) and arr.type.unit != "us":
+        # Spark's native unit is microseconds (TimestampType); normalize.
+        # Mirrors the reference's time-unit shifts (fastparquet/writer.py:381-386).
+        arr = arr.cast(pa.timestamp("us"))
+    dt = dtype_id_for_arrow(arr.type)
+    n = len(arr)
+    n_nulls = arr.null_count
+    payload = bytearray()
+    if n_nulls:
+        notnull = np.zeros(n, dtype=np.uint64)
+        notnull[~np.asarray(arr.is_null())] = 1
+        defs = rle.encode(notnull, 1)
+        payload.extend(np.uint32(len(defs)).tobytes())
+        payload.extend(defs)
+        values = arr.drop_null()
+    else:
+        values = arr
+    payload.extend(_encode_values(values, dt, codec))
+    raw = bytes(payload)
+    body = compression.compress(raw, comp)
+    header = (
+        MAGIC
+        + bytes([VERSION, codec, comp, dt])
+        + np.uint32(n).tobytes()
+        + np.uint32(n_nulls).tobytes()
+        + np.uint64(len(raw)).tobytes()
+    )
+    return header + body
+
+
+def decode_block(block: bytes) -> pa.Array:
+    """Decode a block -> arrow array (with validity restored)."""
+    if block[:4] != MAGIC:
+        raise ValueError("bad block magic")
+    codec = block[5]
+    comp = block[6]
+    dt = block[7]
+    n = int(np.frombuffer(block[8:12], dtype="<u4")[0])
+    n_nulls = int(np.frombuffer(block[12:16], dtype="<u4")[0])
+    raw = compression.decompress(block[24:], comp)
+    pos = 0
+    if n_nulls:
+        def_len = int(np.frombuffer(raw[:4], dtype="<u4")[0])
+        pos = 4 + def_len
+        notnull = rle.decode(raw[4:pos], 1, n).astype(bool)
+        if n_nulls == n:
+            return pa.nulls(n, type=_DT_ARROW[dt])
+        vals = _decode_values(raw[pos:], dt, codec, n - n_nulls)
+        # Re-expand: place non-null values at notnull positions.
+        idx = np.full(n, -1, dtype=np.int64)
+        idx[notnull] = np.arange(n - n_nulls)
+        taken = vals.take(pa.array(np.where(notnull, idx, 0).astype(np.int64)))
+        mask = pa.array(~notnull)  # True = null position
+        return pa.compute.if_else(mask, pa.scalar(None, type=vals.type), taken)
+    return _decode_values(raw, dt, codec, n)
+
+
+def decode_block_to_pandas(block: bytes) -> pd.Series:
+    return decode_block(block).to_pandas()

@@ -1,0 +1,153 @@
+"""Per-column-block codec auto-selector.
+
+Replaces the reference's *static* dtype-driven dispatch — "encoding = PLAIN
+unless the pandas dtype is categorical, then RLE_DICTIONARY"
+(fastparquet/writer.py:519, 601-631, dispatch table writer.py:411-414) —
+with sampling-based selection per the north rule: cardinality, mean run
+length, byte entropy, and (for ints) delta width, scored into a predicted
+encoded size per candidate codec; the smallest predicted size wins.
+
+The sampling style mirrors the reference's own page-sizing heuristic
+(``_rows_per_page`` samples string lengths, fastparquet/writer.py:458-484).
+Every choice is recorded with its metrics so the lineage table can expose
+codec-choice statistics (north_star requirement).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+
+from ..kernels import bitpack, fsst
+from . import encoder as enc
+
+SAMPLE = 65536
+
+
+@dataclass
+class Choice:
+    codec: int
+    dtype_id: int
+    n: int
+    metrics: dict = field(default_factory=dict)
+
+    @property
+    def codec_name(self) -> str:
+        return enc.CODEC_NAMES[self.codec]
+
+
+def _entropy(byte_sample: np.ndarray) -> float:
+    if len(byte_sample) == 0:
+        return 0.0
+    counts = np.bincount(byte_sample, minlength=256)
+    p = counts[counts > 0] / len(byte_sample)
+    return float(-(p * np.log2(p)).sum())
+
+
+def _mean_run_len(v: np.ndarray) -> float:
+    if len(v) < 2:
+        return float(len(v))
+    changes = int((v[1:] != v[:-1]).sum())
+    return len(v) / (changes + 1)
+
+
+def choose(arr: pa.Array, allow_fsst: bool = True) -> Choice:
+    """Pick a codec for one column chunk by predicted encoded size."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    dt = enc.dtype_id_for_arrow(arr.type)
+    n = len(arr)
+    vals = arr.drop_null() if arr.null_count else arr
+    nv = len(vals)
+    if nv == 0:
+        return Choice(enc.PLAIN, dt, n, {"empty": True})
+    samp = vals.slice(0, min(nv, SAMPLE))
+
+    if dt in (enc.DT_STRING, enc.DT_BINARY):
+        return _choose_string(samp, vals, dt, n, allow_fsst and dt == enc.DT_STRING)
+    if dt == enc.DT_BOOL:
+        return Choice(enc.BITPACK, dt, n, {"width": 1})
+    if dt in (enc.DT_FLOAT64, enc.DT_FLOAT32):
+        return _choose_float(samp, dt, n)
+    return _choose_int(samp, vals, dt, n)
+
+
+def _choose_string(samp: pa.Array, vals: pa.Array, dt: int, n: int, allow_fsst: bool) -> Choice:
+    s = np.asarray(samp.cast(pa.string())) if dt == enc.DT_STRING else None
+    k = len(samp)
+    nv = len(vals)
+    lens = pa.compute.binary_length(samp)
+    avg_len = float(pa.compute.mean(lens).as_py() or 0.0)
+    distinct = len(pa.compute.unique(samp))
+    distinct_ratio = distinct / k
+    metrics = {"avg_len": avg_len, "distinct_ratio": distinct_ratio, "distinct": distinct}
+
+    plain_size = nv * (avg_len + 4)
+    sizes = {enc.PLAIN: plain_size}
+    # dict: labels + codes at dict width (ignore run savings; conservative)
+    est_distinct_total = distinct if distinct < 0.5 * k else int(distinct_ratio * nv)
+    width = bitpack.width_from_max(max(est_distinct_total - 1, 1))
+    sizes[enc.DICT] = est_distinct_total * (avg_len + 4) + nv * width / 8
+    if allow_fsst and avg_len >= 8 and distinct_ratio > 0.05:
+        # trial-encode the sample: cheap and exact (FSST builds its table
+        # from a sample anyway)
+        trial = fsst.encode(samp.cast(pa.string()))
+        sample_bytes = float(pa.compute.sum(lens).as_py() or 0)
+        ratio = len(trial) / max(sample_bytes + 4.0 * k, 1.0)
+        metrics["fsst_ratio"] = ratio
+        sizes[enc.FSST] = ratio * plain_size
+    codec = min(sizes, key=sizes.get)
+    metrics["predicted_sizes"] = {enc.CODEC_NAMES[c]: int(v) for c, v in sizes.items()}
+    return Choice(codec, dt, n, metrics)
+
+
+def _choose_float(samp: pa.Array, dt: int, n: int) -> Choice:
+    k = len(samp)
+    distinct = len(pa.compute.unique(samp))
+    itemsize = 8 if dt == enc.DT_FLOAT64 else 4
+    metrics = {"distinct_ratio": distinct / k}
+    # dictionary pays off for low-cardinality floats (e.g. discount ladders)
+    if distinct <= 1 << 16 and distinct / k < 0.1:
+        width = bitpack.width_from_max(max(distinct - 1, 1))
+        if distinct * itemsize + n * width / 8 < n * itemsize:
+            return Choice(enc.DICT, dt, n, metrics)
+    return Choice(enc.PLAIN, dt, n, metrics)
+
+
+def _choose_int(samp: pa.Array, vals: pa.Array, dt: int, n: int) -> Choice:
+    v = enc._to_int_view(samp, dt)
+    nv = len(vals)
+    k = len(v)
+    lo, hi = int(v.min()), int(v.max())
+    range_width = bitpack.width_from_max(max(hi - lo, 0))
+    distinct = len(pa.compute.unique(samp))
+    run_len = _mean_run_len(v)
+    deltas = np.diff(v) if k > 1 else np.zeros(1, dtype=np.int64)
+    # miniblock-style estimate of delta width (frame-of-reference per 32)
+    pad = (-len(deltas)) % 32
+    dpad = np.pad(deltas, (0, pad), constant_values=deltas[-1] if len(deltas) else 0)
+    mb = dpad.reshape(-1, 32)
+    mb_span = (mb.max(axis=1) - mb.min(axis=1)).astype(np.uint64)
+    delta_width = float(np.mean([bitpack.width_from_max(int(s)) for s in mb_span])) if len(mb) else 0.0
+    metrics = {
+        "distinct_ratio": distinct / k, "mean_run_len": run_len,
+        "range_width": range_width, "delta_width": delta_width,
+    }
+
+    itemsize = {enc.DT_INT64: 8, enc.DT_TIMESTAMP_US: 8, enc.DT_INT32: 4,
+                enc.DT_DATE32: 4, enc.DT_INT16: 2, enc.DT_INT8: 1}[dt]
+    sizes = {enc.PLAIN: nv * itemsize}
+    sizes[enc.BITPACK] = nv * range_width / 8 + 9
+    sizes[enc.DELTA] = nv * (delta_width / 8) + nv / 128 * 6 + 16
+    if run_len >= 4:
+        # hybrid: long runs cost ~ (header+value) per run, rest bit-packed
+        n_runs = nv / run_len
+        sizes[enc.RLE_FOR] = n_runs * (2 + max(1, range_width // 8)) + 9
+    if distinct / k < 0.5:
+        est_distinct_total = distinct if distinct < 0.5 * k else int(distinct / k * nv)
+        width = bitpack.width_from_max(max(est_distinct_total - 1, 1))
+        sizes[enc.DICT] = est_distinct_total * itemsize + nv * width / 8
+    codec = min(sizes, key=sizes.get)
+    metrics["predicted_sizes"] = {enc.CODEC_NAMES[c]: int(s) for c, s in sizes.items()}
+    return Choice(codec, dt, n, metrics)

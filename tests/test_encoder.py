@@ -1,0 +1,143 @@
+"""Block encode/decode round-trips across dtypes, codecs, nulls, compression.
+
+Mirrors the reference's full-frame roundtrip matrix
+(fastparquet/test/test_output.py:103-133 scheme x row-groups x compression;
+:201 nulls; :600,635 categoricals).
+"""
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from parquet_python_spark.kernels import compression
+from parquet_python_spark.operators import encoder as enc
+from parquet_python_spark.operators import selector
+
+
+def _rt(arr: pa.Array, codec: int, comp: int = compression.UNCOMPRESSED):
+    block = enc.encode_block(arr, codec, comp)
+    out = enc.decode_block(block)
+    return block, out
+
+
+CASES = [
+    (pa.array(np.arange(1000, dtype=np.int64)), [enc.PLAIN, enc.DELTA, enc.BITPACK, enc.RLE_FOR, enc.DICT]),
+    (pa.array(np.arange(1000, dtype=np.int32)), [enc.PLAIN, enc.DELTA, enc.BITPACK]),
+    (pa.array((np.arange(500) % 7).astype(np.int16)), [enc.PLAIN, enc.BITPACK, enc.DICT]),
+    (pa.array(np.linspace(-5, 5, 777)), [enc.PLAIN]),
+    (pa.array(np.linspace(0, 1, 333).astype(np.float32)), [enc.PLAIN]),
+    (pa.array([True, False, True] * 100), [enc.PLAIN, enc.BITPACK]),
+    (pa.array(["alpha", "beta", "gamma"] * 200), [enc.PLAIN, enc.DICT, enc.FSST]),
+    (pa.array([b"\x00\x01", b"\xff" * 10, b""] * 50, type=pa.binary()), [enc.PLAIN, enc.DICT]),
+    (pa.array(pd.date_range("2024-01-01", periods=400, freq="1h").as_unit("us")), [enc.PLAIN, enc.DELTA, enc.DICT]),
+    (pa.array(pd.date_range("2020-01-01", periods=100).date, type=pa.date32()), [enc.PLAIN, enc.DELTA, enc.BITPACK]),
+    (pa.array(np.full(100, -42, dtype=np.int64)), [enc.PLAIN, enc.RLE_FOR, enc.DELTA, enc.BITPACK]),
+]
+
+
+@pytest.mark.parametrize("arr,codecs", CASES, ids=lambda c: str(getattr(c, "type", c))[:30])
+def test_block_roundtrip(arr, codecs):
+    for codec in codecs:
+        _, out = _rt(arr, codec)
+        assert out.equals(arr), f"codec {enc.CODEC_NAMES[codec]} failed for {arr.type}"
+
+
+@pytest.mark.parametrize("comp", sorted(compression.compressors))
+def test_compression_roundtrip(comp):
+    arr = pa.array(["hello compression"] * 500)
+    _, out = _rt(arr, enc.DICT, comp)
+    assert out.equals(arr)
+
+
+def test_nulls_roundtrip(rng):
+    v = rng.integers(0, 100, size=1000).astype("float64")
+    v[rng.random(1000) < 0.1] = np.nan
+    ints = pd.array(rng.integers(0, 100, size=1000), dtype="Int64")
+    ints[rng.random(1000) < 0.3] = pd.NA
+    strs = pd.array(["x", "yy", None, "zzz"] * 250)
+    for data in [pa.array(ints), pa.array(strs), pa.Array.from_pandas(pd.Series(v).where(pd.Series(v).notna()))]:
+        for codec in ([enc.PLAIN, enc.DICT] if data.type != pa.float64() else [enc.PLAIN]):
+            block = enc.encode_block(data, codec)
+            out = enc.decode_block(block)
+            assert out.equals(data), f"{data.type} {enc.CODEC_NAMES[codec]}"
+
+
+def test_all_null_roundtrip():
+    arr = pa.array([None, None, None], type=pa.int64())
+    _, out = _rt(arr, enc.PLAIN)
+    assert out.equals(arr)
+
+
+def test_empty_roundtrip():
+    arr = pa.array([], type=pa.string())
+    _, out = _rt(arr, enc.PLAIN)
+    assert len(out) == 0
+
+
+# ---------- selector ----------
+
+def test_selector_picks_dict_for_low_card():
+    arr = pa.array(["python", "rust", "go"] * 5000)
+    assert selector.choose(arr).codec == enc.DICT
+
+
+def test_selector_picks_delta_for_sorted():
+    arr = pa.array(np.arange(10**6) * 1000 + 5)
+    c = selector.choose(arr)
+    assert c.codec == enc.DELTA
+
+
+def test_selector_picks_bitpack_for_small_range(rng):
+    arr = pa.array(rng.integers(0, 16, size=100000).astype(np.int64))
+    c = selector.choose(arr)
+    assert c.codec in (enc.BITPACK, enc.DICT)
+    # verify the pick actually beats plain
+    chosen = len(enc.encode_block(arr, c.codec))
+    plain_sz = len(enc.encode_block(arr, enc.PLAIN))
+    assert chosen < plain_sz / 4
+
+
+def test_selector_avoids_dict_for_high_card(rng):
+    # commit-hash-like strings: selector must NOT pick dict
+    strs = ["%040x" % int(x) for x in rng.integers(0, 2**63, size=5000)]
+    arr = pa.array(strs)
+    c = selector.choose(arr)
+    assert c.codec != enc.DICT
+
+
+def test_selector_fsst_for_code_text(rng):
+    kw = ["def foo(self, x):\n    return x + 1\n", "import os\nimport sys\n",
+          "for i in range(10):\n    print(i)\n"]
+    strs = [kw[int(i)] * int(r) for i, r in zip(rng.integers(0, 3, 2000), rng.integers(1, 20, 2000))]
+    arr = pa.array(strs)
+    c = selector.choose(arr)
+    # low distinct ratio -> dict also valid; both must beat plain
+    assert c.codec in (enc.FSST, enc.DICT)
+    chosen = len(enc.encode_block(arr, c.codec))
+    plain_sz = len(enc.encode_block(arr, enc.PLAIN))
+    assert chosen < plain_sz / 2
+
+
+def test_selector_roundtrip_all_choices(rng):
+    arrays = [
+        pa.array(rng.integers(0, 3, 1000).astype(np.int64)),
+        pa.array(np.sort(rng.integers(0, 10**9, 1000)).astype(np.int64)),
+        pa.array(rng.standard_normal(1000)),
+        pa.array([f"user_{i%50}@example.com" for i in range(1000)]),
+        pa.array(rng.standard_normal(1000) > 0),
+    ]
+    for arr in arrays:
+        c = selector.choose(arr)
+        block = enc.encode_block(arr, c.codec)
+        assert enc.decode_block(block).equals(arr)
+
+
+def test_dict_float_roundtrip(rng):
+    # regression: selector picks DICT for low-card floats (l_quantity-like);
+    # the int view must not truncate
+    arr = pa.array((rng.integers(1, 51, 5000) + 0.5).astype("float64"))
+    c = selector.choose(arr)
+    assert c.codec == enc.DICT
+    assert enc.decode_block(enc.encode_block(arr, enc.DICT)).equals(arr)
+    arr32 = arr.cast(pa.float32())
+    assert enc.decode_block(enc.encode_block(arr32, enc.DICT)).equals(arr32)
