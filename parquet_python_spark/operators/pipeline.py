@@ -1,0 +1,390 @@
+"""Distributed encode/decode pipeline: the Spark re-expression of the
+reference's write/read entry points.
+
+Reference parity map:
+
+* ``write()`` + ``make_row_group`` + ``write_column``
+  (fastparquet/writer.py:1134-1354, 765-811, 487-758) → ``encode_table``:
+  one **(repo, split_id)** group (see ``plans.partitioning``) plays the role
+  of a row group; inside the group, rows are sliced into *pages* sized by
+  sampled byte widths (mirror of ``_rows_per_page``, writer.py:458-484);
+  each (page × column) becomes one self-describing block
+  (``operators.encoder.encode_block``) with min/max/null stats
+  (writer.py:532-564) and the codec chosen by the sampling auto-selector
+  (``operators.selector`` — replaces the static dispatch writer.py:519).
+* ``write_multi`` + ``_metadata`` footer (writer.py:1007-1094, 1412-1439) →
+  a parquet *blockstore* (the block rows) plus a *lineage* table (per-group
+  rollup with an order-independent row-hash) — the consolidated-footer
+  equivalent that drives pruning, resume and metrics.
+* append/overwrite/merge (writer.py:1282-1303, 1497-1601) → ``run_encode``
+  with ``resume=True``: anti-join completed ``part_key``s from lineage
+  (north_rule resume semantics).
+* ``ParquetFile.to_pandas`` + ``read_col`` (api.py:691-794, core.py:430-588)
+  → ``decode_blocks``: group the (page × column) blocks of one page and
+  reassemble the original rows; column projection = a filter on the
+  ``column`` field (the scan then never ships the other blocks); stats
+  pruning = ``prune_blocks`` with the same filter algebra the reference
+  applies to row-group stats (api.py:1125-1183).
+
+Everything row-wise runs inside Arrow-vectorized pandas UDFs; no per-row
+Python anywhere (input_hint).
+"""
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    BinaryType, DoubleType, IntegerType, LongType, StringType, StructField,
+    StructType,
+)
+
+from ..kernels import compression as comp
+from ..plans import filters as filt
+from ..plans import partitioning as part
+from . import encoder as enc
+from . import selector
+
+DEFAULT_PAGE_BYTES = 8 << 20  # target raw bytes per page across all columns
+
+BLOCKS_SCHEMA = StructType([
+    StructField("part_key", LongType(), False),
+    StructField("repo", StringType(), True),
+    StructField("split_id", IntegerType(), True),
+    StructField("page_id", IntegerType(), False),
+    StructField("col_idx", IntegerType(), False),
+    StructField("column", StringType(), False),
+    StructField("codec", StringType(), False),
+    StructField("compression", StringType(), False),
+    StructField("dtype_id", IntegerType(), False),
+    StructField("n_values", LongType(), False),
+    StructField("n_nulls", LongType(), False),
+    StructField("raw_size", LongType(), False),
+    StructField("encoded_size", LongType(), False),
+    StructField("encode_ms", DoubleType(), False),
+    StructField("min_s", StringType(), True),
+    StructField("max_s", StringType(), True),
+    StructField("row_hash", LongType(), True),
+    StructField("metrics", StringType(), True),
+    StructField("block", BinaryType(), False),
+])
+
+_HELPER_COLS = ("part_key", "split_id")
+
+
+def _sampled_bytes_per_row(pdf: pd.DataFrame, cols: list[str]) -> float:
+    """Mean bytes/row from a small head sample — mirror of the reference's
+    ``_rows_per_page`` string-length sampling (writer.py:458-484)."""
+    head = pdf.head(256)
+    total = 0.0
+    for c in cols:
+        s = head[c]
+        if s.dtype == object or pd.api.types.is_string_dtype(s):
+            total += float(s.astype(str).str.len().mean() or 0.0) + 4.0
+        else:
+            total += s.dtype.itemsize if hasattr(s.dtype, "itemsize") else 8.0
+    return max(total, 1.0)
+
+
+def _minmax_str(arr: pa.Array) -> tuple[str | None, str | None]:
+    try:
+        mm = pa.compute.min_max(arr)
+        lo, hi = mm["min"].as_py(), mm["max"].as_py()
+        fmt = lambda v: None if v is None else str(v)[:64]
+        return fmt(lo), fmt(hi)
+    except pa.ArrowNotImplementedError:
+        return None, None
+
+
+def make_encode_group(cols: list[str], page_bytes: int = DEFAULT_PAGE_BYTES,
+                      compression_name: str = "UNCOMPRESSED"):
+    """Build the applyInPandas function for one (part_key) group."""
+    comp_id = comp.resolve(compression_name)
+
+    def encode_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        part_key = int(key[0])
+        repo = pdf["repo"].iloc[0] if "repo" in pdf and len(pdf) else None
+        split_id = int(pdf["split_id"].iloc[0]) if "split_id" in pdf and len(pdf) else 0
+        n = len(pdf)
+        out: list[dict] = []
+        if n == 0:
+            return pd.DataFrame(columns=[f.name for f in BLOCKS_SCHEMA.fields])
+        rows_per_page = max(int(page_bytes / _sampled_bytes_per_row(pdf, cols)), 1024)
+        tbl = pa.Table.from_pandas(pdf[cols], preserve_index=False)
+        for page_id, lo in enumerate(range(0, n, rows_per_page)):
+            hi = min(lo + rows_per_page, n)
+            for ci, c in enumerate(cols):
+                arr = tbl[c].slice(lo, hi - lo).combine_chunks()
+                t0 = time.perf_counter()
+                choice = selector.choose(arr)
+                blk = enc.encode_block(arr, choice.codec, comp_id)
+                ms = (time.perf_counter() - t0) * 1000.0
+                mn, mx = _minmax_str(arr)
+                rh = int(np.bitwise_xor.reduce(
+                    pd.util.hash_pandas_object(pdf[c].iloc[lo:hi], index=False).to_numpy()
+                ).astype(np.int64)) if hi > lo else 0
+                raw = int(arr.nbytes)
+                out.append(dict(
+                    part_key=part_key, repo=repo, split_id=split_id,
+                    page_id=page_id, col_idx=ci, column=c,
+                    codec=choice.codec_name, compression=compression_name,
+                    dtype_id=choice.dtype_id, n_values=hi - lo,
+                    n_nulls=int(arr.null_count), raw_size=raw,
+                    encoded_size=len(blk), encode_ms=ms,
+                    min_s=mn, max_s=mx, row_hash=rh,
+                    metrics=_metrics_json(choice.metrics), block=blk,
+                ))
+        return pd.DataFrame(out)
+
+    return encode_group
+
+
+def _metrics_json(metrics: dict) -> str:
+    import json
+
+    def clean(v):
+        if isinstance(v, (np.integer,)):
+            return int(v)
+        if isinstance(v, (np.floating,)):
+            return float(v)
+        if isinstance(v, dict):
+            return {k: clean(x) for k, x in v.items()}
+        return v
+
+    return json.dumps({k: clean(v) for k, v in metrics.items()})
+
+
+def encode_table(df: DataFrame, columns: list[str] | None = None,
+                 target_rows: int = part.DEFAULT_TARGET_ROWS,
+                 page_bytes: int = DEFAULT_PAGE_BYTES,
+                 compression: str = "UNCOMPRESSED",
+                 plan: DataFrame | None = None) -> DataFrame:
+    """Source DataFrame -> lazy blocks DataFrame (one row per page×column).
+
+    The groupBy on ``part_key`` is the single shuffle of the encode path;
+    Catalyst plans it as hash-partitioned exchange + grouped Arrow UDF.
+    """
+    cols = columns or [c for c in df.columns if c not in _HELPER_COLS]
+    if "part_key" not in df.columns:
+        df = part.with_partition_plan(df, target_rows, plan=plan)
+    fn = make_encode_group(cols, page_bytes, compression)
+    return df.groupBy("part_key").applyInPandas(fn, BLOCKS_SCHEMA)
+
+
+# ---------------------------------------------------------------- blockstore
+
+def write_blockstore(blocks: DataFrame, path: str, mode: str = "append") -> None:
+    """Persist blocks + derived lineage (the `_metadata` analogue)."""
+    blocks.write.mode(mode).parquet(f"{path}/blocks")
+    spark = blocks.sparkSession
+    written = spark.read.parquet(f"{path}/blocks")
+    lineage_from_blocks(written).write.mode("overwrite").parquet(f"{path}/lineage")
+
+
+def lineage_from_blocks(blocks: DataFrame) -> DataFrame:
+    """Per-part_key rollup: rows, bytes, codec mix, order-independent hash."""
+    per_col = blocks.groupBy("part_key", "repo", "split_id", "column").agg(
+        F.sum("n_values").alias("col_values"),
+        F.sum("raw_size").alias("col_raw"),
+        F.sum("encoded_size").alias("col_enc"),
+        F.max("n_values").alias("_pg"),
+    )
+    rows = per_col.groupBy("part_key").agg(F.max("col_values").alias("n_rows"))
+    return (
+        blocks.groupBy("part_key", "repo", "split_id")
+        .agg(
+            F.countDistinct("page_id").alias("n_pages"),
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum("raw_size").alias("raw_bytes"),
+            F.sum("encoded_size").alias("enc_bytes"),
+            F.sum("encode_ms").alias("encode_ms"),
+            F.expr("aggregate(collect_list(row_hash), 0L, (a, x) -> a ^ x)").alias("row_hash"),
+            F.sort_array(F.collect_set("codec")).alias("codecs"),
+        )
+        .join(rows, "part_key")
+        .withColumn("status", F.lit("complete"))
+    )
+
+
+def read_blocks(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(f"{path}/blocks")
+
+
+def read_lineage(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(f"{path}/lineage")
+
+
+def completed_part_keys(spark: SparkSession, path: str) -> DataFrame | None:
+    """Completed part_keys from lineage, or None if no store exists yet."""
+    try:
+        return read_lineage(spark, path).where(
+            F.col("status") == "complete").select("part_key")
+    except Exception:
+        return None
+
+
+def run_encode(df: DataFrame, path: str,
+               columns: list[str] | None = None,
+               target_rows: int = part.DEFAULT_TARGET_ROWS,
+               page_bytes: int = DEFAULT_PAGE_BYTES,
+               compression: str = "UNCOMPRESSED",
+               resume: bool = True) -> dict:
+    """End-to-end encode run: plan → (resume anti-join) → encode → store.
+
+    Returns summary metrics from the lineage table.
+    """
+    spark = df.sparkSession
+    assigned = part.with_partition_plan(df, target_rows)
+    if resume:
+        done = completed_part_keys(spark, path)
+        if done is not None:
+            # north_rule resume: anti-join completed partition ids
+            assigned = assigned.join(done, "part_key", "left_anti")
+    blocks = encode_table(assigned, columns, target_rows, page_bytes, compression)
+    write_blockstore(blocks, path, mode="append")
+    lin = read_lineage(spark, path)
+    agg = lin.agg(
+        F.count(F.lit(1)).alias("parts"),
+        F.sum("n_rows").alias("rows"),
+        F.sum("raw_bytes").alias("raw_bytes"),
+        F.sum("enc_bytes").alias("enc_bytes"),
+    ).collect()[0]
+    return {"parts": agg["parts"], "rows": int(agg["rows"] or 0),
+            "raw_bytes": int(agg["raw_bytes"] or 0),
+            "enc_bytes": int(agg["enc_bytes"] or 0)}
+
+
+# -------------------------------------------------------------------- decode
+
+def infer_schema_from_blocks(blocks: DataFrame) -> StructType:
+    """Recover the decoded schema (name, order, arrow dtype) from block
+    metadata — the thrift-footer-schema analogue (fastparquet/schema.py)."""
+    cols = (blocks.select("col_idx", "column", "dtype_id").distinct()
+            .orderBy("col_idx").collect())
+    from pyspark.sql.types import (
+        BooleanType, DateType, FloatType, ShortType, ByteType, TimestampType,
+    )
+    m = {enc.DT_INT64: LongType(), enc.DT_INT32: IntegerType(),
+         enc.DT_INT16: ShortType(), enc.DT_INT8: ByteType(),
+         enc.DT_FLOAT64: DoubleType(), enc.DT_FLOAT32: FloatType(),
+         enc.DT_BOOL: BooleanType(), enc.DT_STRING: StringType(),
+         enc.DT_BINARY: BinaryType(), enc.DT_TIMESTAMP_US: TimestampType(),
+         enc.DT_DATE32: DateType()}
+    return StructType([StructField(r["column"], m[r["dtype_id"]], True) for r in cols])
+
+
+def decode_blocks(blocks: DataFrame, columns: list[str] | None = None,
+                  filters=None) -> DataFrame:
+    """Blocks -> original rows. Projection prunes blocks before the shuffle;
+    ``filters`` additionally prunes whole blocks on min/max stats, then
+    re-applies the exact predicate on decoded rows (the reference's two-level
+    scheme: filter_row_groups then row_filter, api.py:691-794)."""
+    if filters is not None:
+        blocks = prune_blocks(blocks, filters)
+        need = {c for grp in _norm_filters(filters) for (c, _, _) in grp}
+        if columns is not None:
+            columns = list(dict.fromkeys(list(columns) + [c for c in need if c not in columns]))
+    if columns is not None:
+        blocks = blocks.where(F.col("column").isin(columns))
+    schema = infer_schema_from_blocks(blocks)
+
+    def decode_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("col_idx")
+        data = {}
+        for _, r in pdf.iterrows():
+            data[r["column"]] = enc.decode_block(bytes(r["block"])).to_pandas()
+        return pd.DataFrame(data)
+
+    out = blocks.groupBy("part_key", "page_id").applyInPandas(decode_group, schema)
+    if filters is not None:
+        out = filt.apply_filters(out, filters)
+    return out
+
+
+def _norm_filters(filters):
+    if not filters:
+        return []
+    return [filters] if filters and isinstance(filters[0], tuple) else filters
+
+
+def prune_blocks(blocks: DataFrame, filters) -> DataFrame:
+    """Drop whole *pages* whose stats prove no row can match — the
+    reference's ``filter_out_stats`` (api.py:1125-1183) over our lineage
+    stats. Conservative: a page survives unless some AND-group member
+    disproves it for every OR-group. String-rendered stats are compared
+    lexicographically, so pruning applies to string columns only; others
+    pass through (correctness is preserved by the re-filter after decode)."""
+    groups = _norm_filters(filters)
+    if not groups:
+        return blocks
+    str_dt = enc.DT_STRING
+
+    # Build per-page survival: page survives if ANY group is possibly-true.
+    # A triple (c,op,v) is possibly-true unless stats disprove it.
+    stats = blocks.select("part_key", "page_id", "column", "dtype_id",
+                          "min_s", "max_s")
+    surviving = None
+    for grp in groups:
+        cond = F.lit(True)
+        for c, op, v in grp:
+            col_stats_min = F.max(F.when(F.col("column") == c, F.col("min_s")))
+            col_stats_max = F.max(F.when(F.col("column") == c, F.col("max_s")))
+            is_str = F.max(F.when(F.col("column") == c,
+                                  (F.col("dtype_id") == str_dt).cast("int"))) == 1
+            sv = F.lit(str(v))
+            if op in ("==", "="):
+                t = (col_stats_min <= sv) & (col_stats_max >= sv)
+            elif op == "<":
+                t = col_stats_min < sv
+            elif op == "<=":
+                t = col_stats_min <= sv
+            elif op == ">":
+                t = col_stats_max > sv
+            elif op == ">=":
+                t = col_stats_max >= sv
+            elif op == "in":
+                t = None
+                for item in v:
+                    ti = (col_stats_min <= F.lit(str(item))) & (col_stats_max >= F.lit(str(item)))
+                    t = ti if t is None else (t | ti)
+                if t is None:
+                    t = F.lit(False)
+            else:  # != / not in: stats can't disprove cheaply — keep
+                t = F.lit(True)
+            # non-string dtype or missing stats -> cannot prune -> true
+            t = F.when(is_str & col_stats_min.isNotNull(), t).otherwise(F.lit(True))
+            cond = cond & t
+        surviving = cond if surviving is None else (surviving | cond)
+    keep = (stats.groupBy("part_key", "page_id").agg(surviving.alias("_keep"))
+            .where(F.col("_keep")).select("part_key", "page_id"))
+    return blocks.join(keep, ["part_key", "page_id"], "left_semi")
+
+
+# -------------------------------------------------------------------- verify
+
+def verify_roundtrip(source: DataFrame, decoded: DataFrame,
+                     content_col: str = "content") -> dict:
+    """Bit-identical decode check (north_rule): multiset equality of per-row
+    sha256 over all columns, computed JVM-side with F.sha2 — no collect of
+    data, only of the two tiny digests."""
+    cols = decoded.columns
+
+    def digest(df: DataFrame):
+        row_sha = F.sha2(F.concat_ws("\x1f", *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]), 256)
+        return (df.select(row_sha.alias("sha")).groupBy("sha")
+                .agg(F.count(F.lit(1)).alias("cnt")))
+
+    s = digest(source.select(*cols))
+    d = digest(decoded)
+    missing = s.join(d, ["sha", "cnt"], "left_anti").agg(
+        F.coalesce(F.sum("cnt"), F.lit(0))).collect()[0][0]
+    extra = d.join(s, ["sha", "cnt"], "left_anti").agg(
+        F.coalesce(F.sum("cnt"), F.lit(0))).collect()[0][0]
+    n = source.count()
+    return {"rows": n, "missing": int(missing), "extra": int(extra),
+            "ok": missing == 0 and extra == 0}

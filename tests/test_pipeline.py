@@ -1,0 +1,126 @@
+"""End-to-end Spark pipeline: partition plan, encode, store, decode, verify,
+resume, pruning."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from parquet_python_spark.operators import pipeline as pl
+from parquet_python_spark.plans import partitioning as part
+from parquet_python_spark.plans import filters as filt
+from parquet_python_spark.sources import codegen as cg
+
+pytestmark = pytest.mark.spark
+
+
+@pytest.fixture(scope="module")
+def code_df(spark):
+    return cg.code_table(spark, 3000, partitions=4).cache()
+
+
+def test_partition_plan_salts_mega_repo(spark, code_df):
+    plan = part.plan_splits(code_df, target_rows=200).toPandas()
+    mega = plan.sort_values("n_splits", ascending=False).iloc[0]
+    assert mega["n_splits"] > 1, "mega-repo should be salted into splits"
+    assigned = part.assign_part_keys(code_df, part.plan_splits(code_df, 200))
+    sizes = assigned.groupBy("part_key").count().toPandas()["count"]
+    # no split should be dramatically bigger than target
+    assert sizes.max() < 3 * 200 + 50
+
+
+def test_assignment_is_partitioning_independent(spark):
+    df8 = cg.code_table(spark, 400, partitions=8)
+    df2 = cg.code_table(spark, 400, partitions=2)
+    plan8 = part.plan_splits(df8, 100)
+    a = part.assign_part_keys(df8, plan8).select("repo", "path", "commit", "part_key")
+    b = part.assign_part_keys(df2, part.plan_splits(df2, 100)).select(
+        "repo", "path", "commit", "part_key")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_encode_decode_roundtrip(spark, code_df, tmp_path):
+    store = str(tmp_path / "store")
+    stats = pl.run_encode(code_df, store, target_rows=500, resume=False)
+    assert stats["rows"] == 3000
+    assert stats["enc_bytes"] < stats["raw_bytes"]
+    blocks = pl.read_blocks(spark, store)
+    assert blocks.where(F.col("codec") == "").count() == 0
+    decoded = pl.decode_blocks(blocks)
+    res = pl.verify_roundtrip(code_df, decoded)
+    assert res["ok"], res
+
+
+def test_resume_anti_join(spark, tmp_path):
+    store = str(tmp_path / "store2")
+    df = cg.code_table(spark, 1000, partitions=4)
+    first = df.limit(600)
+    pl.run_encode(first, store, target_rows=300, resume=False)
+    lin1 = pl.read_lineage(spark, store).count()
+    # second run with the full table: only new part_keys encode
+    pl.run_encode(df, store, target_rows=300, resume=True)
+    lin2 = pl.read_lineage(spark, store)
+    assert lin2.count() >= lin1
+    assert lin2.groupBy("part_key").count().where(F.col("count") > 1).count() == 0, \
+        "resume must not duplicate completed part_keys"
+
+
+def test_decode_projection_reads_fewer_blocks(spark, code_df, tmp_path):
+    store = str(tmp_path / "store3")
+    pl.run_encode(code_df, store, target_rows=1000, resume=False)
+    blocks = pl.read_blocks(spark, store)
+    just_lang = pl.decode_blocks(blocks, columns=["lang"])
+    assert just_lang.columns == ["lang"]
+    assert just_lang.count() == 3000
+    counts = code_df.groupBy("lang").count().toPandas().set_index("lang")["count"]
+    got = just_lang.groupBy("lang").count().toPandas().set_index("lang")["count"]
+    assert counts.sort_index().equals(got.sort_index())
+
+
+def test_stats_pruning_and_filtered_decode(spark, code_df, tmp_path):
+    store = str(tmp_path / "store4")
+    pl.run_encode(code_df, store, target_rows=300, resume=False)
+    blocks = pl.read_blocks(spark, store)
+    filters = [("lang", "==", "python")]
+    pruned = pl.prune_blocks(blocks, filters)
+    assert pruned.count() <= blocks.count()
+    decoded = pl.decode_blocks(blocks, columns=["repo", "lang"], filters=filters)
+    want = code_df.where(F.col("lang") == "python").count()
+    assert decoded.count() == want
+    assert decoded.select("lang").distinct().collect()[0][0] == "python"
+
+
+def test_lineage_row_hash_is_order_independent(spark, code_df, tmp_path):
+    store_a = str(tmp_path / "a")
+    store_b = str(tmp_path / "b")
+    pl.run_encode(code_df, store_a, target_rows=500, resume=False)
+    shuffled = code_df.orderBy(F.rand(7))
+    pl.run_encode(shuffled, store_b, target_rows=500, resume=False)
+    la = pl.read_lineage(spark, store_a).select("part_key", "n_rows", "row_hash")
+    lb = pl.read_lineage(spark, store_b).select("part_key", "n_rows", "row_hash")
+    assert la.exceptAll(lb).count() == 0 and lb.exceptAll(la).count() == 0
+
+
+def test_filter_algebra_matches_sql(spark, code_df):
+    f = [[("lang", "==", "python"), ("repo", "!=", "stark/repo0")],
+         [("lang", "in", ["go", "rust"])]]
+    got = filt.apply_filters(code_df, f).count()
+    want = code_df.where(
+        "(lang = 'python' AND repo != 'stark/repo0') OR lang IN ('go','rust')"
+    ).count()
+    assert got == want
+
+
+def test_testdata_tables_roundtrip(spark, tmp_path):
+    """documents + events from the driver testdata: all dtypes through the
+    full pipeline (timestamps, doubles, ints, strings)."""
+    for name, key in (("documents", "doc_id"), ("events", "event_id")):
+        src = spark.read.parquet(f"/root/testdata/sf0.001/{name}.parquet")
+        src = src.withColumn("repo", (F.col(key) % 7).cast("string")) \
+                 .withColumn("path", F.col(key).cast("string")) \
+                 .withColumn("commit", F.lit("c"))
+        store = str(tmp_path / f"td_{name}")
+        pl.run_encode(src, store, target_rows=400, resume=False)
+        decoded = pl.decode_blocks(pl.read_blocks(spark, store))
+        res = pl.verify_roundtrip(src, decoded)
+        assert res["ok"], (name, res)
