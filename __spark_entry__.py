@@ -1,38 +1,399 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: full encode→decode roundtrip of the documents
+table through the columnar-encode pipeline, returning per-row sha256 of the
+decoded content (the north_rule fidelity invariant).
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
+SURVEY.md §2 plus the training-data-pipeline ops (dedup / similarity / text
+analysis).  Every oracle SQL is written to be *bit-deterministic* against
+the Spark expression: integer-derived ratios, explicit DOUBLE casts (DuckDB
+float literals are DECIMAL!), round(_, 3) at the end, md5/sha256 (not
+engine-specific hashes) wherever a hash crosses engines.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from parquet_python_spark.functions import dedup, multimodal, similarity, text
+from parquet_python_spark.operators import pipeline as pl
+
+
+# --------------------------------------------------------------- helpers
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _doc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents table dressed as the (repo, path, commit, ...) code shape
+    the partition planner expects."""
+    return (
+        _documents(spark, sf_dir)
+        .withColumn("repo", F.col("source"))
+        .withColumn("path", F.col("doc_id").cast("string"))
+        .withColumn("commit", F.lit("0"))
+    )
+
+
+DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def _doc_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pl.encode_table(_doc_source(spark, sf_dir), columns=DOC_COLS)
+
+
+def _events_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (df.withColumn("repo", (F.col("user_id") % 20).cast("string"))
+            .withColumn("path", F.col("event_id").cast("string"))
+            .withColumn("commit", F.lit("0")))
+
+
+EVENT_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+def _lineitem_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (df.withColumn("repo", (F.col("l_orderkey") % 64).cast("string"))
+            .withColumn("path", F.concat_ws("_", "l_orderkey", "l_linenumber"))
+            .withColumn("commit", F.lit("0")))
+
+
+LINEITEM_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                 "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate"]
+
+
+def _knn_queries(df: DataFrame) -> DataFrame:
+    return df.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), "embedding")
+
+
+# --------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: encode → decode → per-row sha256 on sf0.001 documents."""
+    sf_dir = "/root/testdata/sf0.001"
+    decoded = pl.decode_blocks(_doc_blocks(spark, sf_dir),
+                               columns=["doc_id", "text"])
+    return decoded.select("doc_id", F.sha2(F.col("text"), 256).alias("sha"))
+
+
+# --------------------------------------------------------------- queries
+
+def q_roundtrip_sha(spark, sf_dir):
+    decoded = pl.decode_blocks(_doc_blocks(spark, sf_dir),
+                               columns=["doc_id", "text"])
+    return decoded.select("doc_id", F.sha2(F.col("text"), 256).alias("sha"))
+
+
+def q_roundtrip_events(spark, sf_dir):
+    blocks = pl.encode_table(_events_source(spark, sf_dir), columns=EVENT_COLS)
+    d = pl.decode_blocks(blocks)
+    return d.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+        "user_id", "event_type", "value", "props")
+
+
+def q_decode_projection(spark, sf_dir):
+    return pl.decode_blocks(_doc_blocks(spark, sf_dir),
+                            columns=["doc_id", "lang"])
+
+
+def q_decode_filtered(spark, sf_dir):
+    return pl.decode_blocks(_doc_blocks(spark, sf_dir),
+                            columns=["doc_id", "lang"],
+                            filters=[("lang", "==", "en")])
+
+
+def q_block_stats(spark, sf_dir):
+    return (_doc_blocks(spark, sf_dir)
+            .groupBy(F.col("column").alias("col_name"))
+            .agg(F.sum("n_values").alias("n_values"),
+                 F.sum("n_nulls").alias("n_nulls")))
+
+
+def q_count_without_decode(spark, sf_dir):
+    lin = pl.lineage_from_blocks(_doc_blocks(spark, sf_dir))
+    return lin.agg(F.sum("n_rows").alias("n_rows"))
+
+
+def q_stats_minmax(spark, sf_dir):
+    return (_doc_blocks(spark, sf_dir)
+            .where(F.col("column").isin("lang", "source"))
+            .groupBy(F.col("column").alias("col_name"))
+            .agg(F.min("min_s").alias("min_s"), F.max("max_s").alias("max_s")))
+
+
+def q_q1_pricing_decoded(spark, sf_dir):
+    blocks = pl.encode_table(_lineitem_source(spark, sf_dir),
+                             columns=LINEITEM_COLS)
+    d = pl.decode_blocks(blocks)
+    return (d.where(F.col("l_shipdate") <= "1997-06-30")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (F.lit(1.0) - F.col("l_discount"))), 2)
+                 .alias("sum_disc_price"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+def q_token_count(spark, sf_dir):
+    return text.token_counts(_documents(spark, sf_dir))
+
+
+def q_quality_score(spark, sf_dir):
+    return text.quality_scores(_documents(spark, sf_dir))
+
+
+def q_lang_id(spark, sf_dir):
+    return text.lang_id(_documents(spark, sf_dir))
+
+
+def q_fingerprint(spark, sf_dir):
+    return text.fingerprints(_documents(spark, sf_dir))
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup_groups(_documents(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return dedup.jaccard_pairs(_documents(spark, sf_dir), tau=0.2)
+
+
+def q_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(_documents(spark, sf_dir),
+                                   n_hashes=8, bands=2, tau=0.25)
+
+
+def q_knn_bruteforce(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.cosine_topk(emb, _knn_queries(emb), k=5)
+
+
+def q_knn_ivf(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.cosine_topk_ivf(emb, _knn_queries(emb), k=5, bits=8)
+
+
+# rows-only (no SQL-expressible oracle): codec choice metrics, simhash,
+# winnowing, multimodal feature plumbing
+def q_codec_choices(spark, sf_dir):
+    return (_doc_blocks(spark, sf_dir)
+            .groupBy(F.col("column").alias("col_name"), "codec")
+            .agg(F.count(F.lit(1)).alias("n_blocks"),
+                 F.sum("encoded_size").alias("enc_bytes")))
+
+
+def q_simhash_pairs(spark, sf_dir):
+    return dedup.simhash_near_pairs(_documents(spark, sf_dir), max_hamming=16)
+
+
+def q_winnow_fingerprint(spark, sf_dir):
+    return text.winnow_fingerprints(_documents(spark, sf_dir))
+
+
+def q_media_features(spark, sf_dir):
+    return multimodal.extract_features(multimodal.synthetic_media(spark, 64),
+                                       fake=True)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "roundtrip_sha": q_roundtrip_sha,
+        "roundtrip_events": q_roundtrip_events,
+        "decode_projection": q_decode_projection,
+        "decode_filtered": q_decode_filtered,
+        "block_stats": q_block_stats,
+        "count_without_decode": q_count_without_decode,
+        "stats_minmax": q_stats_minmax,
+        "q1_pricing_decoded": q_q1_pricing_decoded,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "knn_bruteforce": q_knn_bruteforce,
+        "knn_ivf": q_knn_ivf,
+        "codec_choices": q_codec_choices,
+        "simhash_pairs": q_simhash_pairs,
+        "winnow_fingerprint": q_winnow_fingerprint,
+        "media_features": q_media_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------- oracles
+
+_SHINGLE_CTE = """
+toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+         FROM documents),
+sh0 AS (SELECT DISTINCT doc_id,
+            unnest(list_transform(range(1, len(t) - 1),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        FROM toks WHERE len(t) >= 3),
+hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 100),
+sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot))
+"""
+
+_COS_PAIRS_CTE = """
+q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS va FROM embeddings
+      WHERE vec_id < 8),
+d AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS vb FROM embeddings),
+pairs AS (
+  SELECT q_id, n_id,
+    round(list_sum(list_transform(range(1, len(va) + 1), i -> va[i] * vb[i]))
+      / (sqrt(list_sum(list_transform(range(1, len(va) + 1), i -> va[i] * va[i])))
+         * sqrt(list_sum(list_transform(range(1, len(vb) + 1), i -> vb[i] * vb[i])))),
+      3) AS cos_sim
+  FROM q, d WHERE q_id != n_id{extra_join})
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "roundtrip_sha":
+            "SELECT doc_id, sha256(text) AS sha FROM documents",
+        "roundtrip_events":
+            "SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s, "
+            "user_id, event_type, value, props FROM events",
+        "decode_projection":
+            "SELECT doc_id, lang FROM documents",
+        "decode_filtered":
+            "SELECT doc_id, lang FROM documents WHERE lang = 'en'",
+        "block_stats":
+            " UNION ALL ".join(
+                f"SELECT '{c}' AS col_name, count(*)::BIGINT AS n_values, "
+                f"(count(*) - count({c}))::BIGINT AS n_nulls FROM documents"
+                for c in DOC_COLS),
+        "count_without_decode":
+            "SELECT count(*)::BIGINT AS n_rows FROM documents",
+        "stats_minmax":
+            "SELECT 'lang' AS col_name, min(lang) AS min_s, max(lang) AS max_s "
+            "FROM documents UNION ALL "
+            "SELECT 'source', min(source), max(source) FROM documents",
+        "q1_pricing_decoded": """
+            SELECT l_returnflag, l_linestatus,
+                   round(SUM(l_quantity), 2) AS sum_qty,
+                   round(SUM(l_extendedprice), 2) AS sum_base_price,
+                   round(SUM(l_extendedprice * (1.0::DOUBLE - l_discount)), 2)
+                       AS sum_disc_price,
+                   count(*)::BIGINT AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1997-06-30 00:00:00'
+            GROUP BY l_returnflag, l_linestatus""",
+        "token_count": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\S+'))::INT AS n_tokens,
+                   length(text)::INT AS n_chars_len
+            FROM documents""",
+        "quality_score": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                     length(text) AS n_len
+              FROM documents),
+            u AS (SELECT doc_id, len(toks)::INT AS n_words, n_alpha, n_len,
+                         len(list_filter(toks,
+                             x -> x IN ('the','a','and','of','in','to'))) AS n_stop
+                  FROM t)
+            SELECT doc_id, n_words,
+                   round(n_alpha::DOUBLE / nullif(n_len, 0), 3) AS alpha_ratio,
+                   round(n_stop::DOUBLE / nullif(n_words, 0), 3) AS stopword_ratio,
+                   round(0.4::DOUBLE * least(n_words::DOUBLE / 100, 1.0::DOUBLE)
+                         + 0.4::DOUBLE * (n_alpha::DOUBLE / nullif(n_len, 0))
+                         + 0.2::DOUBLE * (n_stop::DOUBLE / nullif(n_words, 0)), 3)
+                       AS quality
+            FROM u""",
+        "lang_id": """
+            SELECT doc_id, CASE
+                WHEN text LIKE '%#include%' THEN 'c'
+                WHEN text LIKE '%import %' THEN 'python'
+                WHEN text LIKE '%func %' THEN 'go'
+                WHEN text LIKE '%fn %' THEN 'rust'
+                WHEN text LIKE '%const %' THEN 'javascript'
+                ELSE 'unknown' END AS pred_lang
+            FROM documents""",
+        "fingerprint": r"""
+            SELECT doc_id,
+                   md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
+            FROM documents""",
+        "dedup_exact": """
+            SELECT sha256(text) AS text_sha, min(doc_id) AS keep_id,
+                   count(*)::BIGINT AS n_copies
+            FROM documents GROUP BY sha256(text)""",
+        "ngram_jaccard": f"""
+            WITH {_SHINGLE_CTE},
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_inter
+                      FROM sh x JOIN sh y
+                        ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                      GROUP BY x.doc_id, y.doc_id)
+            SELECT a, b,
+                   round(n_inter::DOUBLE / (sa.sz + sb.sz - n_inter), 3) AS jaccard
+            FROM inter JOIN sizes sa ON sa.doc_id = a
+                       JOIN sizes sb ON sb.doc_id = b
+            WHERE round(n_inter::DOUBLE / (sa.sz + sb.sz - n_inter), 3) >= 0.2""",
+        "minhash_lsh": f"""
+            WITH {_SHINGLE_CTE},
+            mh AS (SELECT doc_id, j, min(md5(j::VARCHAR || ':' || shingle)) AS h
+                   FROM sh, (SELECT unnest(range(0, 8)) AS j) js
+                   GROUP BY doc_id, j),
+            band AS (SELECT doc_id, CAST(j // 4 AS INT) AS band,
+                            md5(string_agg(h, ',' ORDER BY j)) AS bh
+                     FROM mh GROUP BY doc_id, CAST(j // 4 AS INT)),
+            cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                     FROM band x JOIN band y
+                       ON x.band = y.band AND x.bh = y.bh
+                      AND x.doc_id < y.doc_id)
+            SELECT c.a, c.b,
+                   round(SUM(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END)::DOUBLE
+                         / 8, 3) AS est_jaccard
+            FROM cand c
+            JOIN mh sa ON sa.doc_id = c.a
+            JOIN mh sb ON sb.doc_id = c.b AND sb.j = sa.j
+            GROUP BY c.a, c.b
+            HAVING round(SUM(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END)::DOUBLE
+                         / 8, 3) >= 0.25""",
+        "knn_bruteforce":
+            "WITH " + _COS_PAIRS_CTE.format(extra_join="") + """
+            SELECT q_id, n_id, cos_sim, rank FROM (
+              SELECT q_id, n_id, cos_sim,
+                     row_number() OVER (PARTITION BY q_id
+                                        ORDER BY cos_sim DESC, n_id ASC)::INT AS rank
+              FROM pairs) WHERE rank <= 5""",
+        "knn_ivf": """
+            WITH qb AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS va,
+                          list_sum(list_transform(range(1, 9),
+                            i -> CASE WHEN embedding[i] > 0
+                                 THEN (1 << (i - 1)) ELSE 0 END)) AS bucket
+                        FROM embeddings WHERE vec_id < 8),
+            db AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS vb,
+                     list_sum(list_transform(range(1, 9),
+                       i -> CASE WHEN embedding[i] > 0
+                            THEN (1 << (i - 1)) ELSE 0 END)) AS bucket
+                   FROM embeddings),
+            pairs AS (
+              SELECT q_id, n_id,
+                round(list_sum(list_transform(range(1, len(va) + 1),
+                        i -> va[i] * vb[i]))
+                  / (sqrt(list_sum(list_transform(range(1, len(va) + 1),
+                          i -> va[i] * va[i])))
+                     * sqrt(list_sum(list_transform(range(1, len(vb) + 1),
+                            i -> vb[i] * vb[i])))), 3) AS cos_sim
+              FROM qb JOIN db USING (bucket) WHERE q_id != n_id)
+            SELECT q_id, n_id, cos_sim, rank FROM (
+              SELECT q_id, n_id, cos_sim,
+                     row_number() OVER (PARTITION BY q_id
+                                        ORDER BY cos_sim DESC, n_id ASC)::INT AS rank
+              FROM pairs) WHERE rank <= 5""",
+    }

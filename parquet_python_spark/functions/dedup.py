@@ -1,0 +1,196 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale-first design notes (100 TB thinking):
+
+* exact dedup groups by ``sha256(text)`` — a 32-byte shuffle key instead of
+  shuffling full documents; partial aggregation (map-side combine) applies.
+* shingling explodes to a (doc_id, shingle) edge list; a document-frequency
+  cap drops ubiquitous shingles *before* the self-join, which is what keeps
+  the candidate-pair blow-up bounded on skewed corpora.
+* MinHash signatures are md5-based (not Spark's xxhash64) so the DuckDB
+  oracle can reproduce them exactly; banding turns the quadratic pair
+  search into an equi-join on (band, band_hash) — the LSH bucket-join.
+* SimHash is an Arrow-batched pandas UDF (bit-level majority vote has no
+  built-in expression); Hamming-distance candidate pairs then use a
+  band-join on 16-bit sub-keys, never a cross join.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+from .text import WORD_RE
+
+
+def exact_dedup_groups(df: DataFrame, col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct content: (text_sha, keep_id, n_copies)."""
+    return (
+        df.select(F.sha2(F.col(col), 256).alias("text_sha"), F.col(id_col))
+        .groupBy("text_sha")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def dedup_exact(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative of each distinct content."""
+    keep = exact_dedup_groups(df, col, id_col).select(
+        F.col("keep_id").alias(id_col))
+    return df.join(keep, id_col, "left_semi")
+
+
+def shingles(df: DataFrame, col: str = "text", id_col: str = "doc_id",
+             n: int = 3, docfreq_cap: int | None = 100) -> DataFrame:
+    """Distinct word n-gram shingles: (id, shingle) edge list.
+
+    JVM-side: regexp tokenize → transform(sequence) n-grams → explode.
+    ``docfreq_cap`` drops shingles present in more than that many docs
+    (stopword-like n-grams that would otherwise quadratically blow up the
+    similarity join on a skewed corpus).
+    """
+    toks = F.regexp_extract_all(F.lower(F.col(col)), F.lit(WORD_RE), 0)
+    # 1-based positions i..i+n-1, i in [1, size-n+1]
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+    out = (df.select(F.col(id_col), F.explode(grams).alias("shingle"))
+           .distinct())
+    if docfreq_cap is not None:
+        hot = (out.groupBy("shingle").count()
+               .where(F.col("count") > docfreq_cap).select("shingle"))
+        out = out.join(hot, "shingle", "left_anti")
+    return out
+
+
+def jaccard_pairs(df: DataFrame, col: str = "text", id_col: str = "doc_id",
+                  n: int = 3, tau: float = 0.5,
+                  docfreq_cap: int | None = 100) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram Jaccard over the shingle
+    inverted index (pairs must share ≥1 shingle — no cross join)."""
+    sh = shingles(df, col, id_col, n, docfreq_cap).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("a"), "shingle")
+    b = sh.select(F.col(id_col).alias("b"), "shingle")
+    inter = (a.join(b, "shingle").where(F.col("a") < F.col("b"))
+             .groupBy("a", "b").agg(F.count(F.lit(1)).alias("inter")))
+    out = (
+        inter
+        .join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb")), "b")
+        .withColumn("jaccard", F.round(
+            F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 3))
+        .where(F.col("jaccard") >= tau)
+        .select("a", "b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(df: DataFrame, col: str = "text", id_col: str = "doc_id",
+                       n_hashes: int = 8, n: int = 3,
+                       docfreq_cap: int | None = 100) -> DataFrame:
+    """md5-based MinHash: h_j(doc) = min over shingles of md5(j || ':' || s).
+
+    Returns (id, j, h).  md5 (not xxhash64) so any ANSI engine reproduces
+    the signature bit-for-bit; the min of hex strings is the min-hash.
+    """
+    sh = shingles(df, col, id_col, n, docfreq_cap)
+    js = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("j")
+    exploded = sh.select(F.col(id_col), F.col("shingle"), js)
+    return (exploded
+            .select(id_col, "j",
+                    F.md5(F.concat_ws(":", F.col("j").cast("string"),
+                                      F.col("shingle"))).alias("hv"))
+            .groupBy(id_col, "j").agg(F.min("hv").alias("h")))
+
+
+def minhash_lsh_pairs(df: DataFrame, col: str = "text", id_col: str = "doc_id",
+                      n_hashes: int = 8, bands: int = 2, n: int = 3,
+                      tau: float = 0.5,
+                      docfreq_cap: int | None = 100) -> DataFrame:
+    """MinHash + LSH banding: candidates share one band hash; estimated
+    similarity = fraction of equal minhashes; filter at ``tau``."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(df, col, id_col, n_hashes, n, docfreq_cap).cache()
+    band = (
+        sig.withColumn("band", (F.col("j") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(F.md5(F.array_join(F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "h"))),
+            lambda x: x["h"]), ",")).alias("bh"))
+    )
+    ba = band.select(F.col(id_col).alias("a"), "band", "bh")
+    bb = band.select(F.col(id_col).alias("b"), "band", "bh")
+    cand = (ba.join(bb, ["band", "bh"]).where(F.col("a") < F.col("b"))
+            .select("a", "b").distinct())
+    sa = sig.select(F.col(id_col).alias("a"), "j", F.col("h").alias("ha"))
+    sb = sig.select(F.col(id_col).alias("b"), "j", F.col("h").alias("hb"))
+    est = (cand.join(sa, "a").join(sb, ["b", "j"])
+           .groupBy("a", "b")
+           .agg(F.round(F.sum((F.col("ha") == F.col("hb")).cast("int"))
+                        / F.lit(float(n_hashes)), 3).alias("est_jaccard")))
+    return est.where(F.col("est_jaccard") >= tau)
+
+
+# ----------------------------------------------------------------- simhash
+
+def simhash(df: DataFrame, col: str = "text", id_col: str = "doc_id",
+            bits: int = 64) -> DataFrame:
+    """SimHash: per-token 64-bit hashes vote per bit; sign of the vote is
+    the bit.  Arrow-batched mapInPandas; all bit math is numpy over the
+    flattened token stream (no per-row Python hashing)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+    schema = StructType([
+        StructField(id_col, LongType()),
+        StructField("simhash", LongType()),
+    ])
+
+    def run(batches):
+        for pdf in batches:
+            split = pdf[col].fillna("").str.lower().str.findall(WORD_RE)
+            lens = split.str.len().to_numpy()
+            total = int(lens.sum())
+            flat = pd.Series(np.concatenate(split.to_numpy()) if total else [],
+                             dtype=object)
+            th = pd.util.hash_pandas_object(flat, index=False).to_numpy()
+            doc_of = np.repeat(np.arange(len(pdf)), lens)
+            votes = np.zeros((len(pdf), bits), dtype=np.int64)
+            for b in range(bits):  # 64 vectorized passes over all tokens
+                bit = ((th >> np.uint64(b)) & np.uint64(1)).astype(np.int64) * 2 - 1
+                np.add.at(votes[:, b], doc_of, bit)
+            sh = np.zeros(len(pdf), dtype=np.uint64)
+            for b in range(bits):
+                sh |= (votes[:, b] > 0).astype(np.uint64) << np.uint64(b)
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
+                                "simhash": sh.astype(np.int64)})
+
+    return df.select(id_col, col).mapInPandas(run, schema)
+
+
+def simhash_near_pairs(df: DataFrame, col: str = "text", id_col: str = "doc_id",
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs within a Hamming ball: band the 64-bit simhash into 4
+    16-bit keys (pigeonhole: distance ≤3 ⇒ ≥1 identical band) and equi-join
+    on bands — never a cross join."""
+    sh = simhash(df, col, id_col).cache()
+    banded = sh.select(
+        id_col, "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.shiftrightunsigned(F.col("simhash"), 16 * i)
+                     .bitwiseAND(F.lit(0xFFFF)).alias("key"))
+            for i in range(4)])).alias("bk"),
+    ).select(id_col, "simhash", F.col("bk.band").alias("band"),
+             F.col("bk.key").alias("key"))
+    a = banded.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"),
+                      "band", "key")
+    b = banded.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb"),
+                      "band", "key")
+    cand = (a.join(b, ["band", "key"]).where(F.col("a") < F.col("b"))
+            .select("a", "b", "ha", "hb").distinct())
+    dist = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (cand.withColumn("hamming", dist)
+            .where(F.col("hamming") <= max_hamming)
+            .select("a", "b", "hamming"))

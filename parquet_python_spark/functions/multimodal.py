@@ -1,0 +1,98 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are carried as ``binary`` columns with a struct
+of metadata; decode / feature-extraction run as Arrow-batched ``mapInPandas``
+UDFs.  The actual media decode is STUBBED (no image/audio libraries in this
+container): ``decode_image`` raises ``NotImplementedError`` unless
+``fake=True``, in which case a deterministic fake decoder exercises the
+real Spark-side plumbing — schema, batching, partitioning — end to end.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    BinaryType, IntegerType, LongType, StringType, StructField, StructType,
+)
+
+MEDIA_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("kind", StringType(), False),       # image | audio | video
+    StructField("mime", StringType(), True),
+    StructField("payload", BinaryType(), True),
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("n_frames", IntegerType(), True),
+])
+
+FEATURE_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("n_bytes", LongType(), False),
+    StructField("byte_mean", IntegerType(), True),
+    StructField("feat_hash", LongType(), True),
+])
+
+
+def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table (payload = seeded pseudo-random bytes)."""
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            rows = []
+            for i in ids:  # tiny table; per-row ok in a fixture generator
+                rng = np.random.default_rng(seed + int(i))
+                size = 256 + int(rng.integers(0, 1024))
+                rows.append(dict(
+                    media_id=int(i), kind=["image", "audio", "video"][int(i) % 3],
+                    mime="application/octet-stream",
+                    payload=rng.integers(0, 256, size, dtype=np.uint8).tobytes(),
+                    width=64, height=64, n_frames=1 + int(i) % 30,
+                ))
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
+    """STUB: real decode needs an image library not present here."""
+    if not fake:
+        raise NotImplementedError(
+            "image decode requires an imaging library (not in this container); "
+            "pass fake=True for the deterministic stand-in")
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    side = max(int(np.sqrt(arr.size)), 1)
+    return np.resize(arr, (side, side))
+
+
+def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
+    """Per-media features via Arrow-batched mapInPandas — the plumbing is
+    real (batch shape, schema, partition locality); the pixel math runs on
+    the deterministic fake decode."""
+    def run(batches):
+        for pdf in batches:
+            n = len(pdf)
+            out = {"media_id": pdf["media_id"].to_numpy(),
+                   "n_bytes": np.zeros(n, dtype=np.int64),
+                   "byte_mean": np.zeros(n, dtype=np.int32),
+                   "feat_hash": np.zeros(n, dtype=np.int64)}
+            for i, payload in enumerate(pdf["payload"]):
+                img = decode_image(payload, fake=fake)
+                out["n_bytes"][i] = len(payload)
+                out["byte_mean"][i] = int(img.mean())
+                out["feat_hash"][i] = int(
+                    np.bitwise_xor.reduce(img.astype(np.uint64).ravel()
+                                          * np.uint64(0x9E3779B97F4A7C15))
+                    .astype(np.int64))
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every: int = 10) -> DataFrame:
+    """Frame-sampling plan for video rows: JVM-side sequence expression."""
+    return df.where(F.col("kind") == "video").select(
+        "media_id",
+        F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every)).alias("frames"),
+    )

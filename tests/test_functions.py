@@ -1,0 +1,99 @@
+"""Behavioral tests for dedup / similarity / text / multimodal operators
+(constructed duplicates — the synthetic documents corpus has none)."""
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_python_spark.functions import dedup, multimodal, similarity, text
+
+pytestmark = pytest.mark.spark
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the old river bank "
+    rows = [
+        (0, base * 5),
+        (1, base * 5),                                   # exact dup of 0
+        (2, base * 5 + "with one extra tail sentence"),  # near dup of 0
+        (3, "completely different content about spark shuffles and codecs "
+            "partitioning salting lineage resume blocks " * 4),
+        (4, "another unrelated document mentioning embeddings vectors and "
+            "cosine similarity search with buckets " * 4),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark, docs):
+    groups = dedup.exact_dedup_groups(docs).toPandas()
+    assert len(groups) == 4  # 5 docs, one exact pair
+    dup = groups[groups.n_copies == 2]
+    assert len(dup) == 1 and dup.iloc[0]["keep_id"] == 0
+    kept = dedup.dedup_exact(docs).toPandas()
+    assert sorted(kept.doc_id) == [0, 2, 3, 4]
+
+
+def test_jaccard_finds_near_dups(spark, docs):
+    pairs = dedup.jaccard_pairs(docs, tau=0.5, docfreq_cap=None).toPandas()
+    got = {tuple(x) for x in pairs[["a", "b"]].to_numpy()}
+    assert (0, 1) in got and (0, 2) in got and (1, 2) in got
+    assert not any({a, b} & {3, 4} and {a, b} & {0, 1, 2} for a, b in got)
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = dedup.minhash_lsh_pairs(docs, tau=0.5, docfreq_cap=None).toPandas()
+    got = {tuple(x) for x in pairs[["a", "b"]].to_numpy()}
+    assert (0, 1) in got
+    est = pairs.set_index(["a", "b"])["est_jaccard"]
+    assert est[(0, 1)] == 1.0
+
+
+def test_simhash_near_pairs(spark, docs):
+    pairs = dedup.simhash_near_pairs(docs, max_hamming=3).toPandas()
+    got = {tuple(x) for x in pairs[["a", "b"]].to_numpy()}
+    assert (0, 1) in got
+    assert pairs.set_index(["a", "b"])["hamming"][(0, 1)] == 0
+
+
+def test_winnow_fingerprints_overlap(spark, docs):
+    fp = text.winnow_fingerprints(docs).toPandas().set_index("doc_id")
+    s0, s1, s3 = (set(fp.loc[i, "fingerprints"]) for i in (0, 1, 3))
+    assert s0 == s1
+    assert not (s0 & s3)
+
+
+def test_cosine_topk_exact_neighbor(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), "embedding")
+    top = similarity.cosine_topk(emb, q, k=3).toPandas()
+    assert set(top.q_id) == {0, 1, 2}
+    assert (top.groupby("q_id").size() == 3).all()
+    assert (top.cos_sim <= 1.0).all() and (top.cos_sim >= -1.0).all()
+
+
+def test_ivf_is_subset_of_bucket(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), "embedding")
+    top = similarity.cosine_topk_ivf(emb, q, k=3, bits=8).toPandas()
+    assert (top.groupby("q_id").size() <= 3).all()
+
+
+def test_multimodal_stub(spark):
+    media = multimodal.synthetic_media(spark, 12)
+    feats = multimodal.extract_features(media, fake=True).toPandas()
+    assert len(feats) == 12
+    assert (feats.n_bytes > 0).all()
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"xx", fake=False)
+    frames = multimodal.frame_sample(media, every=10).toPandas()
+    assert (frames.frames.str.len() >= 1).all()
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [(0, "#include <stdio.h>"), (1, "import numpy"), (2, "func main()"),
+         (3, "plain words only")], ["doc_id", "text"])
+    got = text.lang_id(df).toPandas().set_index("doc_id")["pred_lang"]
+    assert got[0] == "c" and got[1] == "python" and got[2] == "go"
+    assert got[3] == "unknown"
