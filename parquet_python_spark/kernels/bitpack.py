@@ -66,6 +66,20 @@ def unpack(raw: bytes | np.ndarray, width: int, count: int) -> np.ndarray:
         return buf[: 8 * count].view("<u8").astype(np.uint64)
     nbits = count * width
     nbytes = (nbits + 7) // 8
+    if width <= 56:
+        # byte-plane gather: value i lives in the 8 bytes starting at
+        # (i*width)>>3, shifted by (i*width)&7 — no per-bit expansion
+        bit_pos = np.arange(count, dtype=np.int64) * width
+        byte_idx = bit_pos >> 3
+        bit_off = (bit_pos & 7).astype(np.uint64)
+        padded = np.zeros(nbytes + 8, dtype=np.uint8)
+        padded[:nbytes] = buf[:nbytes]
+        word = np.zeros(count, dtype=np.uint64)
+        max_span = (width + 7 + 7) // 8  # bytes that can contain value bits
+        for j in range(max_span):
+            word |= padded[byte_idx + j].astype(np.uint64) << np.uint64(8 * j)
+        mask = np.uint64((1 << width) - 1)
+        return (word >> bit_off) & mask
     bits = np.unpackbits(buf[:nbytes], bitorder="little", count=nbits)
     bits = bits.reshape(count, width).astype(np.uint64)
     weights = (np.uint64(1) << np.arange(width, dtype=np.uint64))[None, :]

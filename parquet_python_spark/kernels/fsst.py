@@ -99,7 +99,8 @@ def _apply_merges(stream: np.ndarray, lut: np.ndarray) -> np.ndarray:
     chosen = _greedy_left(cand)
     if len(chosen) == 0:
         return stream
-    stream = stream.copy()
+    # caller-owned buffer (built by _strings_to_symbols or a prior round):
+    # mutate in place instead of copying 2 bytes/symbol per round
     stream[chosen] = new_ids[chosen]
     delete = np.zeros(len(stream), dtype=bool)
     delete[chosen + 1] = True
@@ -153,7 +154,9 @@ def _build_table(sample: np.ndarray) -> tuple[list[np.ndarray], list[bytes]]:
 def encode(arr: pa.Array) -> bytes:
     """FSST-encode an Arrow string array (non-null) -> block bytes."""
     stream, n_rows = _strings_to_symbols(arr)
-    sample = stream[:SAMPLE_BYTES]
+    # copy: _build_table / _apply_merges mutate their input in place and the
+    # sample would otherwise alias the head of the full stream
+    sample = stream[:SAMPLE_BYTES].copy()
     luts, expansions = _build_table(sample)
     for lut in luts:
         stream = _apply_merges(stream, lut)

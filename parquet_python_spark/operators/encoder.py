@@ -25,7 +25,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..kernels import bitpack, compression, delta, dictionary, fsst, plain, rle
+from ..kernels import (bitpack, compression, delta, dictionary, fsst,
+                       linedict, plain, rle)
 
 MAGIC = b"PQSB"
 VERSION = 1
@@ -37,9 +38,10 @@ RLE_FOR = 2      # frame-of-reference + RLE/BP hybrid (ints)
 DELTA = 3        # DELTA_BINARY_PACKED (ints)
 BITPACK = 4      # frame-of-reference + fixed-width bit-pack (ints, bools)
 FSST = 5         # strings
+LINEDICT = 6     # strings: newline-split line dictionary (code text)
 
 CODEC_NAMES = {PLAIN: "plain", DICT: "dict", RLE_FOR: "rle", DELTA: "delta",
-               BITPACK: "bitpack", FSST: "fsst"}
+               BITPACK: "bitpack", FSST: "fsst", LINEDICT: "linedict"}
 CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
 
 # logical dtype ids
@@ -141,6 +143,10 @@ def _encode_values(arr: pa.Array, dt: int, codec: int) -> bytes:
         if dt != DT_STRING:
             raise TypeError("FSST is for string columns")
         return fsst.encode(arr)
+    if codec == LINEDICT:
+        if dt != DT_STRING:
+            raise TypeError("LINEDICT is for string columns")
+        return linedict.encode(arr)
     # integer codecs
     v = _to_int_view(arr, dt)
     if codec == DELTA:
@@ -177,6 +183,8 @@ def _decode_values(raw: bytes, dt: int, codec: int, count: int) -> pa.Array:
         return _from_int_view(labels, dt)
     if codec == FSST:
         return fsst.decode(raw)
+    if codec == LINEDICT:
+        return linedict.decode(raw)
     if codec == DELTA:
         return _from_int_view(delta.decode(raw, count), dt)
     if codec in (RLE_FOR, BITPACK):

@@ -76,17 +76,19 @@ BLOCKS_SCHEMA = StructType([
 _HELPER_COLS = ("part_key", "split_id")
 
 
-def _sampled_bytes_per_row(pdf: pd.DataFrame, cols: list[str]) -> float:
+def _sampled_bytes_per_row(tbl: pa.Table, cols: list[str]) -> float:
     """Mean bytes/row from a small head sample — mirror of the reference's
     ``_rows_per_page`` string-length sampling (writer.py:458-484)."""
-    head = pdf.head(256)
+    head = tbl.slice(0, 256)
     total = 0.0
     for c in cols:
-        s = head[c]
-        if s.dtype == object or pd.api.types.is_string_dtype(s):
-            total += float(s.astype(str).str.len().mean() or 0.0) + 4.0
+        t = tbl.schema.field(c).type
+        if pa.types.is_string(t) or pa.types.is_large_string(t) \
+                or pa.types.is_binary(t):
+            m = pa.compute.mean(pa.compute.binary_length(head[c])).as_py()
+            total += float(m or 0.0) + 4.0
         else:
-            total += s.dtype.itemsize if hasattr(s.dtype, "itemsize") else 8.0
+            total += t.bit_width / 8 if hasattr(t, "bit_width") else 8.0
     return max(total, 1.0)
 
 
@@ -100,23 +102,45 @@ def _minmax_str(arr: pa.Array) -> tuple[str | None, str | None]:
         return None, None
 
 
+_ARROW_BLOCKS_SCHEMA = pa.schema([
+    ("part_key", pa.int64()), ("repo", pa.string()), ("split_id", pa.int32()),
+    ("page_id", pa.int32()), ("col_idx", pa.int32()), ("column", pa.string()),
+    ("codec", pa.string()), ("compression", pa.string()),
+    ("dtype_id", pa.int32()), ("n_values", pa.int64()),
+    ("n_nulls", pa.int64()), ("raw_size", pa.int64()),
+    ("encoded_size", pa.int64()), ("encode_ms", pa.float64()),
+    ("min_s", pa.string()), ("max_s", pa.string()),
+    ("row_hash", pa.int64()), ("metrics", pa.string()),
+    ("block", pa.binary()),
+])
+
+
 def make_encode_group(cols: list[str], page_bytes: int = DEFAULT_PAGE_BYTES,
                       compression_name: str = "UNCOMPRESSED"):
-    """Build the applyInPandas function for one (part_key) group."""
+    """Build the applyInArrow function for one (part_key) group.
+
+    Arrow-native (no pandas object conversion in the hot path); the
+    order-independent per-page row hash XORs the JVM-computed ``_row_hash``
+    column (xxhash64 over all encoded columns, added pre-shuffle)."""
     comp_id = comp.resolve(compression_name)
 
-    def encode_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        part_key = int(key[0])
-        repo = pdf["repo"].iloc[0] if "repo" in pdf and len(pdf) else None
-        split_id = int(pdf["split_id"].iloc[0]) if "split_id" in pdf and len(pdf) else 0
-        n = len(pdf)
+    def encode_group(key: tuple, tbl: pa.Table) -> pa.Table:
+        part_key = int(key[0].as_py() if hasattr(key[0], "as_py") else key[0])
+        n = tbl.num_rows
         out: list[dict] = []
         if n == 0:
-            return pd.DataFrame(columns=[f.name for f in BLOCKS_SCHEMA.fields])
-        rows_per_page = max(int(page_bytes / _sampled_bytes_per_row(pdf, cols)), 1024)
-        tbl = pa.Table.from_pandas(pdf[cols], preserve_index=False)
+            return _ARROW_BLOCKS_SCHEMA.empty_table()
+        repos = pa.compute.unique(tbl["repo"])
+        repo = repos[0].as_py() if len(repos) == 1 else None
+        split_id = int(tbl["split_id"][0].as_py()) if "split_id" in tbl.column_names else 0
+        rh_all = (np.asarray(tbl["_row_hash"].combine_chunks(), dtype=np.int64)
+                  if "_row_hash" in tbl.column_names else None)
+        rows_per_page = max(int(page_bytes / _sampled_bytes_per_row(tbl, cols)), 1024)
         for page_id, lo in enumerate(range(0, n, rows_per_page)):
             hi = min(lo + rows_per_page, n)
+            rh = (int(np.bitwise_xor.reduce(
+                rh_all[lo:hi].view(np.uint64)).astype(np.int64))
+                if rh_all is not None and hi > lo else 0)
             for ci, c in enumerate(cols):
                 arr = tbl[c].slice(lo, hi - lo).combine_chunks()
                 t0 = time.perf_counter()
@@ -124,21 +148,17 @@ def make_encode_group(cols: list[str], page_bytes: int = DEFAULT_PAGE_BYTES,
                 blk = enc.encode_block(arr, choice.codec, comp_id)
                 ms = (time.perf_counter() - t0) * 1000.0
                 mn, mx = _minmax_str(arr)
-                rh = int(np.bitwise_xor.reduce(
-                    pd.util.hash_pandas_object(pdf[c].iloc[lo:hi], index=False).to_numpy()
-                ).astype(np.int64)) if hi > lo else 0
-                raw = int(arr.nbytes)
                 out.append(dict(
                     part_key=part_key, repo=repo, split_id=split_id,
                     page_id=page_id, col_idx=ci, column=c,
                     codec=choice.codec_name, compression=compression_name,
                     dtype_id=choice.dtype_id, n_values=hi - lo,
-                    n_nulls=int(arr.null_count), raw_size=raw,
+                    n_nulls=int(arr.null_count), raw_size=int(arr.nbytes),
                     encoded_size=len(blk), encode_ms=ms,
                     min_s=mn, max_s=mx, row_hash=rh,
                     metrics=_metrics_json(choice.metrics), block=blk,
                 ))
-        return pd.DataFrame(out)
+        return pa.Table.from_pylist(out, schema=_ARROW_BLOCKS_SCHEMA)
 
     return encode_group
 
@@ -171,8 +191,10 @@ def encode_table(df: DataFrame, columns: list[str] | None = None,
     cols = columns or [c for c in df.columns if c not in _HELPER_COLS]
     if "part_key" not in df.columns:
         df = part.with_partition_plan(df, target_rows, plan=plan)
+    # order-independent row integrity hash, computed JVM-side pre-shuffle
+    df = df.withColumn("_row_hash", F.xxhash64(*cols))
     fn = make_encode_group(cols, page_bytes, compression)
-    return df.groupBy("part_key").applyInPandas(fn, BLOCKS_SCHEMA)
+    return df.groupBy("part_key").applyInArrow(fn, BLOCKS_SCHEMA)
 
 
 # ---------------------------------------------------------------- blockstore
@@ -292,14 +314,22 @@ def decode_blocks(blocks: DataFrame, columns: list[str] | None = None,
         blocks = blocks.where(F.col("column").isin(columns))
     schema = infer_schema_from_blocks(blocks)
 
-    def decode_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("col_idx")
-        data = {}
-        for _, r in pdf.iterrows():
-            data[r["column"]] = enc.decode_block(bytes(r["block"])).to_pandas()
-        return pd.DataFrame(data)
+    want_cols = [f.name for f in schema.fields]
+    from pyspark.sql.pandas.types import to_arrow_schema
+    expected = to_arrow_schema(schema)
 
-    out = blocks.groupBy("part_key", "page_id").applyInPandas(decode_group, schema)
+    def decode_group(key: tuple, tbl: pa.Table) -> pa.Table:
+        order = np.argsort(np.asarray(tbl["col_idx"].combine_chunks()))
+        names = tbl["column"].combine_chunks()
+        blocks_col = tbl["block"].combine_chunks()
+        data = {}
+        for i in order:  # one iteration per column block (not per row)
+            data[names[int(i)].as_py()] = enc.decode_block(
+                blocks_col[int(i)].as_py())
+        # cast to Spark's exact arrow schema (tz metadata on timestamps)
+        return pa.table({c: data[c] for c in want_cols}).cast(expected)
+
+    out = blocks.groupBy("part_key", "page_id").applyInArrow(decode_group, schema)
     if filters is not None:
         out = filt.apply_filters(out, filters)
     return out

@@ -22,7 +22,7 @@ import pyarrow as pa
 from ..kernels import bitpack, fsst
 from . import encoder as enc
 
-SAMPLE = 65536
+SAMPLE = 8192  # per-block sampling cap: selection cost stays O(sample)
 
 
 @dataclass
@@ -89,12 +89,34 @@ def _choose_string(samp: pa.Array, vals: pa.Array, dt: int, n: int, allow_fsst: 
     est_distinct_total = distinct if distinct < 0.5 * k else int(distinct_ratio * nv)
     width = bitpack.width_from_max(max(est_distinct_total - 1, 1))
     sizes[enc.DICT] = est_distinct_total * (avg_len + 4) + nv * width / 8
+    if dt == enc.DT_STRING and avg_len >= 32:
+        # line-dictionary: sample line-level repetition (code-text shape)
+        import pyarrow.compute as pc
+        s_lines = pc.list_flatten(pc.split_pattern(samp, "\n"))
+        n_lines = len(s_lines)
+        if n_lines > k:  # multi-line values — candidate for linedict
+            d_lines = pc.unique(s_lines)
+            nd = len(d_lines)
+            line_ratio = nd / n_lines
+            mean_line = float(pc.mean(pc.binary_length(s_lines)).as_py() or 0.0)
+            est_lines_total = n_lines * (nv / k)
+            est_dict = (nd if line_ratio < 0.5
+                        else line_ratio * est_lines_total)
+            lw = bitpack.width_from_max(max(int(est_dict) - 1, 1))
+            metrics["line_ratio"] = line_ratio
+            sizes[enc.LINEDICT] = (est_dict * (mean_line + 4)
+                                   + est_lines_total * lw / 8
+                                   + nv * 4)
     if allow_fsst and avg_len >= 8 and distinct_ratio > 0.05:
-        # trial-encode the sample: cheap and exact (FSST builds its table
-        # from a sample anyway)
-        trial = fsst.encode(samp.cast(pa.string()))
-        sample_bytes = float(pa.compute.sum(lens).as_py() or 0)
-        ratio = len(trial) / max(sample_bytes + 4.0 * k, 1.0)
+        # trial-encode a SMALL sample: cap ~256 KiB / 1024 rows so selection
+        # cost stays O(sample), not O(column) (the full column is encoded
+        # once, by the chosen codec — not twice)
+        t_rows = min(k, max(int(262144 / max(avg_len, 1.0)), 64), 1024)
+        trial_arr = samp.slice(0, t_rows).cast(pa.string())
+        trial = fsst.encode(trial_arr)
+        t_lens = pa.compute.binary_length(trial_arr)
+        sample_bytes = float(pa.compute.sum(t_lens).as_py() or 0)
+        ratio = len(trial) / max(sample_bytes + 4.0 * t_rows, 1.0)
         metrics["fsst_ratio"] = ratio
         sizes[enc.FSST] = ratio * plain_size
     codec = min(sizes, key=sizes.get)

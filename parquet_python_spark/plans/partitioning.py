@@ -1,20 +1,28 @@
-"""Skew-aware partition planning: repo-hash partitioning with salted splits.
+"""Skew-aware partition planning: repo-hash partitioning with salted splits
+for mega-repos AND hash-bucket bin-packing for the long tail of tiny repos.
 
 Re-creates the reference's row-group chunking (``iter_dataframe``,
 fastparquet/writer.py:1097-1131 — fixed ROW_GROUP_SIZE slices of a local
 DataFrame) as a *distributed, skew-aware* plan per the north rule:
 
-* the unit of encode work (our "row group") is a **(repo, split_id)** pair;
-* small repos get one split; a mega-repo bigger than ``target_rows`` is
-  salted into ``ceil(rows / target_rows)`` splits so no single Spark task
-  inherits the whole head of the zipf distribution;
-* ``split_id = pmod(xxhash64(path, commit), n_splits)`` is a pure function
-  of row identity — NOT of partitioning — so re-running at any cluster
-  size or resuming after failure re-creates the identical assignment
-  (resume-stable lineage, north_rule).
+* the unit of encode work (our "row group") is a **part_key**;
+* a repo bigger than ``target_rows`` is salted into
+  ``ceil(rows / target_rows)`` splits — ``split_id = pmod(xxhash64(path,
+  commit), n_splits)`` is a pure function of row identity, so any cluster
+  size or resume re-creates the identical assignment;
+* the zipf tail of small repos is *bin-packed*: repo → bucket =
+  ``pmod(xxhash64(repo), n_buckets)`` with ``n_buckets =
+  ceil(small_rows_total / target_rows)``.  Hash-mod (not a global sorted
+  cumsum) so the plan needs no single-partition window — at 10^12 files /
+  10^8 repos the plan itself stays fully parallel.  Without packing, the
+  tail would make one task per tiny repo and per-task fixed costs dominate
+  (measured 30 ms/group vs ~1 ms of real encode work at bench scale).
 
-The plan itself is one tiny aggregate over the ``repo`` column (Catalyst
-prunes the scan to that column); it is broadcast to the assignment join.
+The plan is one narrow agg over ``repo`` (Catalyst prunes the scan) plus a
+single scalar collect for the bucket count; it broadcasts to the
+assignment join.  Resume correctness requires re-planning over the same
+source (same counts → same plan); for incremental sources, persist the
+plan table alongside the lineage table.
 """
 from __future__ import annotations
 
@@ -24,39 +32,42 @@ DEFAULT_TARGET_ROWS = 250_000
 
 
 def plan_splits(df: DataFrame, target_rows: int = DEFAULT_TARGET_ROWS) -> DataFrame:
-    """Per-repo split counts: ``(repo, n_splits)``.
+    """Per-repo plan: ``(repo, n_splits, bucket)``.
 
-    One narrow agg; at 100 TB this is a column-pruned scan of `repo` only.
+    ``n_splits > 1``  → salted mega-repo (bucket is null).
+    ``n_splits == 1`` → packed into hash bucket ``bucket``.
     """
-    return (
-        df.groupBy("repo")
-        .agg(F.count(F.lit(1)).alias("_rows"))
-        .select(
-            "repo",
-            F.greatest(
-                F.lit(1), F.ceil(F.col("_rows") / F.lit(target_rows))
-            ).cast("int").alias("n_splits"),
-        )
-    )
+    counts = df.groupBy("repo").agg(F.count(F.lit(1)).alias("_rows"))
+    counts = counts.withColumn(
+        "n_splits",
+        F.greatest(F.lit(1), F.ceil(F.col("_rows") / F.lit(target_rows)))
+        .cast("int"))
+    small_total = (counts.where(F.col("n_splits") == 1)
+                   .agg(F.coalesce(F.sum("_rows"), F.lit(0))).collect()[0][0])
+    n_buckets = max(int((small_total + target_rows - 1) // target_rows), 1)
+    return counts.select(
+        "repo", "n_splits",
+        F.when(F.col("n_splits") == 1,
+               F.pmod(F.xxhash64("repo"), F.lit(n_buckets)).cast("int"))
+        .alias("bucket"))
 
 
 def assign_part_keys(df: DataFrame, plan: DataFrame) -> DataFrame:
-    """Add ``split_id`` and ``part_key`` columns.
-
-    ``part_key`` identifies one encode unit (repo × salt split). The join
-    against the per-repo plan is broadcast (the plan has one row per repo —
-    tiny next to the fact table).
-    """
-    out = df.join(F.broadcast(plan), "repo", "left").withColumn(
-        "n_splits", F.coalesce(F.col("n_splits"), F.lit(1))
-    )
+    """Add ``split_id`` and ``part_key``.  The plan join is broadcast (one
+    row per repo — tiny next to the fact table)."""
+    out = df.join(F.broadcast(plan), "repo", "left")
     out = out.withColumn(
         "split_id",
-        F.pmod(F.xxhash64(F.col("path"), F.col("commit")), F.col("n_splits")).cast("int"),
-    )
+        F.when(F.col("n_splits") > 1,
+               F.pmod(F.xxhash64(F.col("path"), F.col("commit")),
+                      F.col("n_splits")).cast("int"))
+        .otherwise(F.lit(0)))
     return out.withColumn(
-        "part_key", F.xxhash64(F.col("repo"), F.col("split_id"))
-    ).drop("n_splits")
+        "part_key",
+        F.when(F.col("n_splits") > 1,
+               F.xxhash64(F.col("repo"), F.col("split_id")))
+        .otherwise(F.xxhash64(F.lit("__pack__"), F.col("bucket")))
+    ).drop("n_splits", "bucket")
 
 
 def with_partition_plan(df: DataFrame, target_rows: int = DEFAULT_TARGET_ROWS,
