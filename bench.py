@@ -34,6 +34,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 ENCODE_ROWS = int(os.environ.get("BENCH_ENCODE_ROWS", "200000"))
+# group size is a property of the DATA PLAN, not the cluster size: both
+# scaling levels must encode the identical part_key layout
+TARGET_ROWS = int(os.environ.get("BENCH_TARGET_ROWS",
+                                 str(max(ENCODE_ROWS // 96, 8192))))
 CACHE_DIR = os.environ.get("BENCH_CACHE_DIR", "/tmp/pqs_bench_cache")
 
 HEADLINE = ["roundtrip_sha", "q1_pricing_decoded", "dedup_exact",
@@ -49,7 +53,14 @@ def build_spark(cpus: int):
         .config("spark.sql.shuffle.partitions", str(2 * cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", "24g")
+        .config("spark.driver.memory", "12g")
+        # Xms == Xmx: G1 must never uncommit pages — this sandbox serializes
+        # page faults (~0.5 GB/s globally), so heap shrink/regrow cycles
+        # would dominate wall time at high parallelism
+        .config("spark.driver.extraJavaOptions", "-Xms12g")
+        # loopback TCP to python workers collapses under >8 concurrent
+        # streams in this sandbox (kernel sys-time storm); UDS bypasses it
+        .config("spark.python.unix.domain.socket.enabled", "true")
         .config("spark.executorEnv.MALLOC_MMAP_MAX_", "0")
         .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "-1")
         .config("spark.executorEnv.ARROW_DEFAULT_MEMORY_POOL", "system")
@@ -81,10 +92,10 @@ def bench_encode(spark, n_rows: int) -> dict:
     # first pass through every python worker is page-fault-bound; steady
     # state (what a long-running cluster job sees) is the honest number
     shutil.rmtree(store, ignore_errors=True)
-    pl.run_encode(df, store, target_rows=50_000, resume=False)
+    pl.run_encode(df, store, target_rows=TARGET_ROWS, resume=False)
     shutil.rmtree(store, ignore_errors=True)
     t0 = time.perf_counter()
-    stats = pl.run_encode(df, store, target_rows=50_000, resume=False)
+    stats = pl.run_encode(df, store, target_rows=TARGET_ROWS, resume=False)
     wall = time.perf_counter() - t0
     shutil.rmtree(store, ignore_errors=True)
     gb = stats["raw_bytes"] / 1e9

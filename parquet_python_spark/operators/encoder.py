@@ -26,7 +26,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..kernels import (bitpack, compression, delta, dictionary, fsst,
-                       linedict, plain, rle)
+                       hexpack, linedict, plain, rle)
 
 MAGIC = b"PQSB"
 VERSION = 1
@@ -39,9 +39,11 @@ DELTA = 3        # DELTA_BINARY_PACKED (ints)
 BITPACK = 4      # frame-of-reference + fixed-width bit-pack (ints, bools)
 FSST = 5         # strings
 LINEDICT = 6     # strings: newline-split line dictionary (code text)
+HEXPACK = 7      # strings: fixed-length lowercase hex (commit ids)
 
 CODEC_NAMES = {PLAIN: "plain", DICT: "dict", RLE_FOR: "rle", DELTA: "delta",
-               BITPACK: "bitpack", FSST: "fsst", LINEDICT: "linedict"}
+               BITPACK: "bitpack", FSST: "fsst", LINEDICT: "linedict",
+               HEXPACK: "hexpack"}
 CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
 
 # logical dtype ids
@@ -147,6 +149,10 @@ def _encode_values(arr: pa.Array, dt: int, codec: int) -> bytes:
         if dt != DT_STRING:
             raise TypeError("LINEDICT is for string columns")
         return linedict.encode(arr)
+    if codec == HEXPACK:
+        if dt != DT_STRING:
+            raise TypeError("HEXPACK is for string columns")
+        return hexpack.encode(arr)
     # integer codecs
     v = _to_int_view(arr, dt)
     if codec == DELTA:
@@ -185,6 +191,8 @@ def _decode_values(raw: bytes, dt: int, codec: int, count: int) -> pa.Array:
         return fsst.decode(raw)
     if codec == LINEDICT:
         return linedict.decode(raw)
+    if codec == HEXPACK:
+        return hexpack.decode(raw)
     if codec == DELTA:
         return _from_int_view(delta.decode(raw, count), dt)
     if codec in (RLE_FOR, BITPACK):

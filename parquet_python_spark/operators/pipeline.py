@@ -200,8 +200,11 @@ def encode_table(df: DataFrame, columns: list[str] | None = None,
 # ---------------------------------------------------------------- blockstore
 
 def write_blockstore(blocks: DataFrame, path: str, mode: str = "append") -> None:
-    """Persist blocks + derived lineage (the `_metadata` analogue)."""
-    blocks.write.mode(mode).parquet(f"{path}/blocks")
+    """Persist blocks + derived lineage (the `_metadata` analogue).
+
+    Parquet-level compression is off: block payloads are already encoded
+    (and optionally cramjam-compressed) — recompressing burns CPU for ~0%."""
+    blocks.write.mode(mode).option("compression", "none").parquet(f"{path}/blocks")
     spark = blocks.sparkSession
     written = spark.read.parquet(f"{path}/blocks")
     lineage_from_blocks(written).write.mode("overwrite").parquet(f"{path}/lineage")

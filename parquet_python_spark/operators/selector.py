@@ -85,6 +85,14 @@ def _choose_string(samp: pa.Array, vals: pa.Array, dt: int, n: int, allow_fsst: 
 
     plain_size = nv * (avg_len + 4)
     sizes = {enc.PLAIN: plain_size}
+    if dt == enc.DT_STRING and 8 <= avg_len and avg_len % 2 == 0:
+        # hex-shaped? sample check first, then the cheap full-column
+        # vectorized validation (encode re-validates and raises otherwise)
+        from ..kernels import hexpack
+        if hexpack.is_applicable(samp.cast(pa.string())) and \
+                hexpack.is_applicable(vals.cast(pa.string())):
+            sizes[enc.HEXPACK] = nv * avg_len / 2 + 6
+            metrics["hex"] = True
     # dict: labels + codes at dict width (ignore run savings; conservative)
     est_distinct_total = distinct if distinct < 0.5 * k else int(distinct_ratio * nv)
     width = bitpack.width_from_max(max(est_distinct_total - 1, 1))
@@ -92,14 +100,15 @@ def _choose_string(samp: pa.Array, vals: pa.Array, dt: int, n: int, allow_fsst: 
     if dt == enc.DT_STRING and avg_len >= 32:
         # line-dictionary: sample line-level repetition (code-text shape)
         import pyarrow.compute as pc
-        s_lines = pc.list_flatten(pc.split_pattern(samp, "\n"))
+        k_line = min(k, 512)
+        s_lines = pc.list_flatten(pc.split_pattern(samp.slice(0, k_line), "\n"))
         n_lines = len(s_lines)
-        if n_lines > k:  # multi-line values — candidate for linedict
+        if n_lines > k_line:  # multi-line values — candidate for linedict
             d_lines = pc.unique(s_lines)
             nd = len(d_lines)
             line_ratio = nd / n_lines
             mean_line = float(pc.mean(pc.binary_length(s_lines)).as_py() or 0.0)
-            est_lines_total = n_lines * (nv / k)
+            est_lines_total = n_lines * (nv / k_line)
             est_dict = (nd if line_ratio < 0.5
                         else line_ratio * est_lines_total)
             lw = bitpack.width_from_max(max(int(est_dict) - 1, 1))
@@ -108,17 +117,20 @@ def _choose_string(samp: pa.Array, vals: pa.Array, dt: int, n: int, allow_fsst: 
                                    + est_lines_total * lw / 8
                                    + nv * 4)
     if allow_fsst and avg_len >= 8 and distinct_ratio > 0.05:
-        # trial-encode a SMALL sample: cap ~256 KiB / 1024 rows so selection
+        # trial-encode a SMALL sample: cap ~64 KiB / 256 rows so selection
         # cost stays O(sample), not O(column) (the full column is encoded
         # once, by the chosen codec — not twice)
-        t_rows = min(k, max(int(262144 / max(avg_len, 1.0)), 64), 1024)
+        t_rows = min(k, max(int(65536 / max(avg_len, 1.0)), 64), 256)
         trial_arr = samp.slice(0, t_rows).cast(pa.string())
         trial = fsst.encode(trial_arr)
         t_lens = pa.compute.binary_length(trial_arr)
         sample_bytes = float(pa.compute.sum(t_lens).as_py() or 0)
         ratio = len(trial) / max(sample_bytes + 4.0 * t_rows, 1.0)
         metrics["fsst_ratio"] = ratio
-        sizes[enc.FSST] = ratio * plain_size
+        # cost-aware: FSST encodes ~10× slower than plain/dict, so charge a
+        # 1.3× penalty — it wins only when it saves real space (still well
+        # under the reference's PLAIN output when chosen)
+        sizes[enc.FSST] = ratio * plain_size * 1.3
     codec = min(sizes, key=sizes.get)
     metrics["predicted_sizes"] = {enc.CODEC_NAMES[c]: int(v) for c, v in sizes.items()}
     return Choice(codec, dt, n, metrics)
@@ -128,13 +140,17 @@ def _choose_float(samp: pa.Array, dt: int, n: int) -> Choice:
     k = len(samp)
     distinct = len(pa.compute.unique(samp))
     itemsize = 8 if dt == enc.DT_FLOAT64 else 4
-    metrics = {"distinct_ratio": distinct / k}
-    # dictionary pays off for low-cardinality floats (e.g. discount ladders)
-    if distinct <= 1 << 16 and distinct / k < 0.1:
-        width = bitpack.width_from_max(max(distinct - 1, 1))
-        if distinct * itemsize + n * width / 8 < n * itemsize:
-            return Choice(enc.DICT, dt, n, metrics)
-    return Choice(enc.PLAIN, dt, n, metrics)
+    ratio = distinct / k
+    metrics = {"distinct_ratio": ratio}
+    # predicted sizes, same style as ints/strings: dictionary pays off
+    # whenever labels + packed codes undercut raw values
+    est_distinct_total = distinct if ratio < 0.5 else int(ratio * n)
+    width = bitpack.width_from_max(max(est_distinct_total - 1, 1))
+    sizes = {enc.PLAIN: n * itemsize,
+             enc.DICT: est_distinct_total * itemsize + n * width / 8}
+    codec = min(sizes, key=sizes.get)
+    metrics["predicted_sizes"] = {enc.CODEC_NAMES[c]: int(v) for c, v in sizes.items()}
+    return Choice(codec, dt, n, metrics)
 
 
 def _choose_int(samp: pa.Array, vals: pa.Array, dt: int, n: int) -> Choice:

@@ -41,3 +41,15 @@ def test_block_roundtrip_with_nulls():
     arr = pa.array(["a\nb", None, "c", None, "d\ne\nf"], type=pa.string())
     blk = enc.encode_block(arr, enc.LINEDICT)
     assert enc.decode_block(blk).equals(arr)
+
+
+def test_hexpack_roundtrip_and_selector():
+    from parquet_python_spark.kernels import hexpack
+    arr = cg.generate_arrow(0, 300)["commit"].combine_chunks()
+    assert hexpack.decode(hexpack.encode(arr)).equals(arr.cast(pa.string()))
+    c = selector.choose(arr)
+    assert c.codec_name == "hexpack"
+    blk = enc.encode_block(arr, enc.HEXPACK)
+    assert len(blk) < 0.55 * arr.nbytes
+    with pytest.raises(ValueError):
+        hexpack.encode(pa.array(["xyz!"], type=pa.string()))
