@@ -144,6 +144,16 @@ def q_q1_pricing_decoded(spark, sf_dir):
                  F.count(F.lit(1)).alias("count_order")))
 
 
+def q_roundtrip_embeddings(spark, sf_dir):
+    """LIST-column pipeline parity: encode/decode array<float> embeddings."""
+    src = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .withColumn("repo", (F.col("vec_id") % 5).cast("string"))
+           .withColumn("path", F.col("vec_id").cast("string"))
+           .withColumn("commit", F.lit("0")))
+    blocks = pl.encode_table(src, columns=["vec_id", "embedding", "label"])
+    return pl.decode_blocks(blocks)
+
+
 def q_token_count(spark, sf_dir):
     return text.token_counts(_documents(spark, sf_dir))
 
@@ -215,6 +225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_without_decode": q_count_without_decode,
         "stats_minmax": q_stats_minmax,
         "q1_pricing_decoded": q_q1_pricing_decoded,
+        "roundtrip_embeddings": q_roundtrip_embeddings,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
@@ -290,6 +301,8 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1997-06-30 00:00:00'
             GROUP BY l_returnflag, l_linestatus""",
+        "roundtrip_embeddings":
+            "SELECT vec_id, embedding, label FROM embeddings",
         "token_count": r"""
             SELECT doc_id,
                    len(regexp_extract_all(text, '\S+'))::INT AS n_tokens,

@@ -40,10 +40,11 @@ BITPACK = 4      # frame-of-reference + fixed-width bit-pack (ints, bools)
 FSST = 5         # strings
 LINEDICT = 6     # strings: newline-split line dictionary (code text)
 HEXPACK = 7      # strings: fixed-length lowercase hex (commit ids)
+LIST = 8         # list<primitive>: offsets + recursively-encoded child block
 
 CODEC_NAMES = {PLAIN: "plain", DICT: "dict", RLE_FOR: "rle", DELTA: "delta",
                BITPACK: "bitpack", FSST: "fsst", LINEDICT: "linedict",
-               HEXPACK: "hexpack"}
+               HEXPACK: "hexpack", LIST: "list"}
 CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
 
 # logical dtype ids
@@ -72,8 +73,22 @@ _DT_ARROW = {
 }
 _INT_DTS = {DT_INT64, DT_INT32, DT_INT16, DT_INT8, DT_TIMESTAMP_US, DT_DATE32}
 
+# list<child>: dtype id = DT_LIST_BASE + child dtype id (one nesting level —
+# the reference's own writer can't write nested data at all, writer.py:598;
+# decode-side LIST parity maps fastparquet's Dremel assembly
+# cencoding.pyx:431-494)
+DT_LIST_BASE = 100
+
+
+def arrow_type_for_dtype_id(dt: int) -> pa.DataType:
+    if dt >= DT_LIST_BASE:
+        return pa.list_(arrow_type_for_dtype_id(dt - DT_LIST_BASE))
+    return _DT_ARROW[dt]
+
 
 def dtype_id_for_arrow(t: pa.DataType) -> int:
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return DT_LIST_BASE + dtype_id_for_arrow(t.value_type)
     if pa.types.is_int64(t):
         return DT_INT64
     if pa.types.is_int32(t):
@@ -123,6 +138,20 @@ def _from_int_view(values: np.ndarray, dt: int) -> pa.Array:
 
 def _encode_values(arr: pa.Array, dt: int, codec: int) -> bytes:
     """Encode a *non-null* arrow array with the given codec."""
+    if codec == LIST or dt >= DT_LIST_BASE:
+        if codec != LIST or dt < DT_LIST_BASE:
+            raise TypeError("LIST codec and list dtype go together")
+        from . import selector  # deferred: selector imports this module
+        if pa.types.is_large_list(arr.type):
+            arr = arr.cast(pa.list_(arr.type.value_type))
+        n = len(arr)
+        offsets = np.asarray(arr.offsets, dtype=np.int64)
+        child = arr.flatten()  # honors offsets/slicing
+        rebased = (offsets - offsets[0]).astype("<i4")
+        child_choice = selector.choose(child)
+        child_block = encode_block(child, child_choice.codec)
+        return (np.uint32(n).tobytes() + rebased.tobytes()
+                + np.uint32(len(child_block)).tobytes() + child_block)
     if codec == PLAIN:
         if dt in (DT_STRING, DT_BINARY):
             return plain.encode_strings(arr)
@@ -169,6 +198,13 @@ def _encode_values(arr: pa.Array, dt: int, codec: int) -> bytes:
 
 
 def _decode_values(raw: bytes, dt: int, codec: int, count: int) -> pa.Array:
+    if codec == LIST:
+        n = int(np.frombuffer(raw[:4], dtype="<u4")[0])
+        off_end = 4 + 4 * (n + 1)
+        offsets = np.frombuffer(raw[4:off_end], dtype="<i4")
+        blk_len = int(np.frombuffer(raw[off_end:off_end + 4], dtype="<u4")[0])
+        child = decode_block(raw[off_end + 4:off_end + 4 + blk_len])
+        return pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), child)
     if codec == PLAIN:
         if dt in (DT_STRING, DT_BINARY):
             return plain.decode_strings(raw, binary=(dt == DT_BINARY))
@@ -215,6 +251,10 @@ def encode_block(arr: pa.Array, codec: int, comp: int = compression.UNCOMPRESSED
         # Spark's native unit is microseconds (TimestampType); normalize.
         # Mirrors the reference's time-unit shifts (fastparquet/writer.py:381-386).
         arr = arr.cast(pa.timestamp("us"))
+    if pa.types.is_decimal(arr.type):
+        # reference semantics: DECIMAL decodes to float64
+        # (fastparquet/converted_types.py:176-190)
+        arr = arr.cast(pa.float64())
     dt = dtype_id_for_arrow(arr.type)
     n = len(arr)
     n_nulls = arr.null_count
@@ -257,14 +297,14 @@ def decode_block(block: bytes) -> pa.Array:
         pos = 4 + def_len
         notnull = rle.decode(raw[4:pos], 1, n).astype(bool)
         if n_nulls == n:
-            return pa.nulls(n, type=_DT_ARROW[dt])
+            return pa.nulls(n, type=arrow_type_for_dtype_id(dt))
         vals = _decode_values(raw[pos:], dt, codec, n - n_nulls)
-        # Re-expand: place non-null values at notnull positions.
-        idx = np.full(n, -1, dtype=np.int64)
+        # Re-expand: take with NULL indices at null positions (works for
+        # every type incl. lists, unlike if_else)
+        idx = np.zeros(n, dtype=np.int64)
         idx[notnull] = np.arange(n - n_nulls)
-        taken = vals.take(pa.array(np.where(notnull, idx, 0).astype(np.int64)))
-        mask = pa.array(~notnull)  # True = null position
-        return pa.compute.if_else(mask, pa.scalar(None, type=vals.type), taken)
+        idx_arr = pa.array(idx, mask=~notnull)
+        return vals.take(idx_arr)
     return _decode_values(raw, dt, codec, n)
 
 

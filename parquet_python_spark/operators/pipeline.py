@@ -87,8 +87,18 @@ def _sampled_bytes_per_row(tbl: pa.Table, cols: list[str]) -> float:
                 or pa.types.is_binary(t):
             m = pa.compute.mean(pa.compute.binary_length(head[c])).as_py()
             total += float(m or 0.0) + 4.0
+        elif pa.types.is_list(t) or pa.types.is_large_list(t):
+            m = pa.compute.mean(pa.compute.list_value_length(head[c])).as_py()
+            try:
+                w = t.value_type.bit_width / 8
+            except ValueError:
+                w = 16.0
+            total += float(m or 0.0) * w + 4.0
         else:
-            total += t.bit_width / 8 if hasattr(t, "bit_width") else 8.0
+            try:
+                total += t.bit_width / 8
+            except (ValueError, AttributeError):
+                total += 8.0
     return max(total, 1.0)
 
 
@@ -252,6 +262,35 @@ def completed_part_keys(spark: SparkSession, path: str) -> DataFrame | None:
         return None
 
 
+def load_plan(spark: SparkSession, path: str) -> DataFrame | None:
+    try:
+        return spark.read.parquet(f"{path}/plan")
+    except Exception:
+        return None
+
+
+def _plan_for_store(df: DataFrame, path: str, target_rows: int) -> DataFrame:
+    """Load the persisted plan, extend it for repos not yet planned (pinning
+    the stored bucket count so existing assignments never move), persist,
+    and return it.  A persisted plan is what makes resume and overwrite
+    deterministic across jobs even when the source grows."""
+    spark = df.sparkSession
+    stored = load_plan(spark, path)
+    if stored is None:
+        plan = part.plan_splits(df, target_rows)
+        plan.write.mode("overwrite").parquet(f"{path}/plan")
+        return load_plan(spark, path)
+    missing = df.select("repo").distinct().join(stored.select("repo"),
+                                                "repo", "left_anti")
+    if missing.isEmpty():
+        return stored
+    n_buckets = stored.agg(F.coalesce(F.max("bucket") + 1, F.lit(1))).collect()[0][0]
+    new_part = part.plan_splits(df.join(missing, "repo", "left_semi"),
+                                target_rows, n_buckets=int(n_buckets))
+    new_part.write.mode("append").parquet(f"{path}/plan")
+    return load_plan(spark, path)
+
+
 def run_encode(df: DataFrame, path: str,
                columns: list[str] | None = None,
                target_rows: int = part.DEFAULT_TARGET_ROWS,
@@ -263,7 +302,8 @@ def run_encode(df: DataFrame, path: str,
     Returns summary metrics from the lineage table.
     """
     spark = df.sparkSession
-    assigned = part.with_partition_plan(df, target_rows)
+    plan = _plan_for_store(df, path, target_rows)
+    assigned = part.assign_part_keys(df, plan)
     if resume:
         done = completed_part_keys(spark, path)
         if done is not None:
@@ -283,6 +323,53 @@ def run_encode(df: DataFrame, path: str,
             "enc_bytes": int(agg["enc_bytes"] or 0)}
 
 
+def overwrite_partitions(df: DataFrame, path: str,
+                         columns: list[str] | None = None,
+                         target_rows: int = part.DEFAULT_TARGET_ROWS,
+                         page_bytes: int = DEFAULT_PAGE_BYTES,
+                         compression: str = "UNCOMPRESSED") -> dict:
+    """Replace every repo present in ``df`` with the given rows — the
+    reference's partition-overwrite semantics (fastparquet ``overwrite`` /
+    ``remove_row_groups``, writer.py:1497-1601, api.py:415-574) on the
+    blockstore.
+
+    Tail repos are bin-packed into shared buckets, so replacing one repo
+    means re-encoding its *bucket*: rows of other repos in affected buckets
+    are decoded from the store, unioned with the replacement rows, and
+    re-encoded under the SAME persisted plan (part_keys never move).  The
+    store rewrite is a local directory swap; production would be an Iceberg
+    overwrite commit.
+    """
+    import shutil
+
+    spark = df.sparkSession
+    plan = _plan_for_store(df, path, target_rows)
+    repos = df.select("repo").distinct()
+    assigned_new = part.assign_part_keys(df, plan)
+    aff_keys = assigned_new.select("part_key").distinct()
+    blocks = read_blocks(spark, path)
+    aff_blocks = blocks.join(aff_keys, "part_key", "left_semi")
+    # rows of OTHER repos living in the affected buckets survive
+    retained_rows = (decode_blocks(aff_blocks)
+                     .join(repos, "repo", "left_anti"))
+    union = retained_rows.unionByName(df.select(*retained_rows.columns))
+    cols = columns or [c for c in union.columns if c not in _HELPER_COLS]
+    new_blocks = encode_table(part.assign_part_keys(union, plan), cols,
+                              target_rows, page_bytes, compression)
+    keep_blocks = blocks.join(aff_keys, "part_key", "left_anti")
+    merged = keep_blocks.unionByName(new_blocks)
+    tmp = f"{path}/_overwrite_tmp"
+    merged.write.mode("overwrite").option("compression", "none").parquet(f"{tmp}/blocks")
+    shutil.rmtree(f"{path}/blocks", ignore_errors=True)
+    shutil.move(f"{tmp}/blocks", f"{path}/blocks")
+    shutil.rmtree(tmp, ignore_errors=True)
+    written = spark.read.parquet(f"{path}/blocks")
+    lineage_from_blocks(written).write.mode("overwrite").parquet(f"{path}/lineage")
+    agg = read_lineage(spark, path).agg(
+        F.count(F.lit(1)).alias("parts"), F.sum("n_rows").alias("rows")).collect()[0]
+    return {"parts": agg["parts"], "rows": int(agg["rows"] or 0)}
+
+
 # -------------------------------------------------------------------- decode
 
 def infer_schema_from_blocks(blocks: DataFrame) -> StructType:
@@ -290,16 +377,12 @@ def infer_schema_from_blocks(blocks: DataFrame) -> StructType:
     metadata — the thrift-footer-schema analogue (fastparquet/schema.py)."""
     cols = (blocks.select("col_idx", "column", "dtype_id").distinct()
             .orderBy("col_idx").collect())
-    from pyspark.sql.types import (
-        BooleanType, DateType, FloatType, ShortType, ByteType, TimestampType,
-    )
-    m = {enc.DT_INT64: LongType(), enc.DT_INT32: IntegerType(),
-         enc.DT_INT16: ShortType(), enc.DT_INT8: ByteType(),
-         enc.DT_FLOAT64: DoubleType(), enc.DT_FLOAT32: FloatType(),
-         enc.DT_BOOL: BooleanType(), enc.DT_STRING: StringType(),
-         enc.DT_BINARY: BinaryType(), enc.DT_TIMESTAMP_US: TimestampType(),
-         enc.DT_DATE32: DateType()}
-    return StructType([StructField(r["column"], m[r["dtype_id"]], True) for r in cols])
+    from pyspark.sql.pandas.types import from_arrow_type
+    return StructType([
+        StructField(r["column"],
+                    from_arrow_type(enc.arrow_type_for_dtype_id(r["dtype_id"])),
+                    True)
+        for r in cols])
 
 
 def decode_blocks(blocks: DataFrame, columns: list[str] | None = None,

@@ -58,6 +58,9 @@ def choose(arr: pa.Array, allow_fsst: bool = True) -> Choice:
         arr = arr.combine_chunks()
     dt = enc.dtype_id_for_arrow(arr.type)
     n = len(arr)
+    if dt >= enc.DT_LIST_BASE:
+        # child codec is chosen recursively inside the LIST encoder
+        return Choice(enc.LIST, dt, n, {"list": True})
     vals = arr.drop_null() if arr.null_count else arr
     nv = len(vals)
     if nv == 0:

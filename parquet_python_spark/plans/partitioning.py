@@ -31,20 +31,25 @@ from pyspark.sql import DataFrame, functions as F
 DEFAULT_TARGET_ROWS = 250_000
 
 
-def plan_splits(df: DataFrame, target_rows: int = DEFAULT_TARGET_ROWS) -> DataFrame:
+def plan_splits(df: DataFrame, target_rows: int = DEFAULT_TARGET_ROWS,
+                n_buckets: int | None = None) -> DataFrame:
     """Per-repo plan: ``(repo, n_splits, bucket)``.
 
     ``n_splits > 1``  → salted mega-repo (bucket is null).
     ``n_splits == 1`` → packed into hash bucket ``bucket``.
+
+    Pass ``n_buckets`` to pin the tail-bucket count (used when extending a
+    persisted plan so existing assignments never move).
     """
     counts = df.groupBy("repo").agg(F.count(F.lit(1)).alias("_rows"))
     counts = counts.withColumn(
         "n_splits",
         F.greatest(F.lit(1), F.ceil(F.col("_rows") / F.lit(target_rows)))
         .cast("int"))
-    small_total = (counts.where(F.col("n_splits") == 1)
-                   .agg(F.coalesce(F.sum("_rows"), F.lit(0))).collect()[0][0])
-    n_buckets = max(int((small_total + target_rows - 1) // target_rows), 1)
+    if n_buckets is None:
+        small_total = (counts.where(F.col("n_splits") == 1)
+                       .agg(F.coalesce(F.sum("_rows"), F.lit(0))).collect()[0][0])
+        n_buckets = max(int((small_total + target_rows - 1) // target_rows), 1)
     return counts.select(
         "repo", "n_splits",
         F.when(F.col("n_splits") == 1,

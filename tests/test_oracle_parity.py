@@ -3,6 +3,8 @@ twin must produce identical (row count, column names, sorted values) to
 DuckDB on the same parquet tables — this mirrors CORRECTNESS_r{N}.json."""
 import math
 
+import numpy as np
+
 import duckdb
 import pandas as pd
 import pytest
@@ -30,6 +32,11 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if df[c].dtype == object:
+            if len(df) and isinstance(df[c].iloc[0], (list, tuple)) or \
+                    len(df) and hasattr(df[c].iloc[0], "__len__") and \
+                    not isinstance(df[c].iloc[0], str):
+                df[c] = df[c].map(lambda v: tuple(np.asarray(v).tolist()))
+                continue
             try:
                 df[c] = df[c].astype(float)
             except (ValueError, TypeError):
