@@ -1,0 +1,78 @@
+"""Physical-plan assertions: the declarative pipeline must actually get
+Catalyst's pushdown/pruning/broadcast — not just produce correct rows.
+These are the properties that decide whether the design survives 100 TB."""
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_python_spark.operators import pipeline as pl
+from parquet_python_spark.plans import filters as filt
+from parquet_python_spark.plans import partitioning as part
+from parquet_python_spark.functions import similarity
+from parquet_python_spark.sources import codegen as cg
+
+pytestmark = pytest.mark.spark
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_source_filter_pushdown(spark):
+    df = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    q = filt.apply_filters(df, [("lang", "==", "en"), ("n_chars", ">", 100)])
+    plan = _plan(q)
+    assert "PushedFilters" in plan
+    assert "EqualTo(lang,en)" in plan and "GreaterThan(n_chars,100)" in plan
+
+
+def test_source_column_pruning(spark):
+    df = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    q = df.select("doc_id", "lang")
+    plan = _plan(q)
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in read_schema, "projection must prune the text column"
+
+
+def test_decode_projection_pushes_column_filter_to_blockstore(spark, tmp_path):
+    store = str(tmp_path / "store")
+    df = cg.code_table(spark, 300, partitions=2)
+    pl.run_encode(df, store, target_rows=200, resume=False)
+    blocks = pl.read_blocks(spark, store)
+    q = pl.decode_blocks(blocks, columns=["lang"])
+    plan = _plan(q)
+    assert "PushedFilters" in plan and (
+        "In(column" in plan or "EqualTo(column,lang)" in plan), (
+        "column projection must reach the blockstore parquet scan")
+
+
+def test_partition_plan_join_is_broadcast(spark):
+    df = cg.code_table(spark, 300, partitions=2)
+    assigned = part.with_partition_plan(df, 200)
+    plan = _plan(assigned)
+    assert "BroadcastHashJoin" in plan, "plan join must broadcast, not shuffle"
+
+
+def test_cosine_topk_broadcasts_queries(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), "embedding")
+    top = similarity.cosine_topk(emb, q, k=3)
+    plan = _plan(top)
+    assert "Broadcast" in plan, "query side must broadcast"
+    assert "SortMergeJoin" not in plan
+
+
+def test_encode_has_single_data_shuffle(spark):
+    df = cg.code_table(spark, 300, partitions=2)
+    # with a precomputed plan, the fact table crosses exactly ONE exchange
+    plan_df = part.plan_splits(df, 200)
+    blocks = pl.encode_table(part.assign_part_keys(df, plan_df))
+    plan = _plan(blocks)
+    # exactly one exchange moves the fact table (by part_key); any other
+    # hash exchange may only belong to the tiny per-repo plan aggregate
+    assert plan.count("hashpartitioning(part_key") == 1, plan
+    import re
+    others = [m.group(0) for m in re.finditer(r"Exchange hashpartitioning\((\w+)", plan)
+              if m.group(1) != "part_key"]
+    assert all("repo" in o for o in others), others
