@@ -93,10 +93,15 @@ def bench_encode(spark, n_rows: int) -> dict:
     # state (what a long-running cluster job sees) is the honest number
     shutil.rmtree(store, ignore_errors=True)
     pl.run_encode(df, store, target_rows=TARGET_ROWS, resume=False)
-    shutil.rmtree(store, ignore_errors=True)
-    t0 = time.perf_counter()
-    stats = pl.run_encode(df, store, target_rows=TARGET_ROWS, resume=False)
-    wall = time.perf_counter() - t0
+    # min-of-2 timed passes: host steal on this VM varies identical runs
+    # 3-10x, so a single pass measures the host, not the engine
+    wall = None
+    for _ in range(2):
+        shutil.rmtree(store, ignore_errors=True)
+        t0 = time.perf_counter()
+        stats = pl.run_encode(df, store, target_rows=TARGET_ROWS, resume=False)
+        w = time.perf_counter() - t0
+        wall = w if wall is None else min(wall, w)
     shutil.rmtree(store, ignore_errors=True)
     gb = stats["raw_bytes"] / 1e9
     return {"rows": stats["rows"], "gb": round(gb, 3), "sec": round(wall, 2),
