@@ -480,6 +480,98 @@ def prune_blocks(blocks: DataFrame, filters) -> DataFrame:
     return blocks.join(keep, ["part_key", "page_id"], "left_semi")
 
 
+# ------------------------------------------------------- metadata utilities
+
+def statistics(spark: SparkSession, path: str) -> DataFrame:
+    """Per-(part, page, column) stats exposure — the reference's
+    ``statistics(obj)`` (fastparquet/api.py:1186-1284) over the blockstore."""
+    return read_blocks(spark, path).select(
+        "part_key", "page_id", "column", "codec", "n_values", "n_nulls",
+        "raw_size", "encoded_size", "min_s", "max_s")
+
+
+def sorted_columns(spark: SparkSession, path: str) -> DataFrame:
+    """Columns whose per-page [min, max] ranges never overlap when pages
+    are ordered by (part_key, page_id) — the reference's sortedness
+    *detection* (``sorted_partitioned_columns``, api.py:1287-1327).
+    String-rendered stats ⇒ detection is for string columns."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("column").orderBy("part_key", "page_id")
+    s = (read_blocks(spark, path)
+         .select("part_key", "page_id", "column", "min_s", "max_s")
+         .withColumn("prev_max", F.lag("max_s").over(w)))
+    return (s.groupBy("column")
+            .agg((F.sum(F.when((F.col("prev_max").isNull())
+                               | (F.col("min_s") >= F.col("prev_max")), 0)
+                        .otherwise(1)) == 0).alias("is_sorted")))
+
+
+def update_store_metadata(path: str, updates: dict) -> dict:
+    """Custom key-value metadata on the store — parity with
+    ``update_file_custom_metadata`` (fastparquet/writer.py:1613-1666):
+    None values delete keys; returns the merged mapping."""
+    import json
+    import os
+
+    meta_path = f"{path}/_custom_metadata.json"
+    meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    for k, v in updates.items():
+        if v is None:
+            meta.pop(k, None)
+        else:
+            meta[k] = v
+    with open(meta_path, "w") as f:
+        json.dump(meta, f, indent=2, sort_keys=True)
+    return meta
+
+
+def read_store_metadata(path: str) -> dict:
+    import json
+    import os
+
+    meta_path = f"{path}/_custom_metadata.json"
+    if not os.path.exists(meta_path):
+        return {}
+    with open(meta_path) as f:
+        return json.load(f)
+
+
+def head_rows(spark: SparkSession, path: str, n: int,
+              columns: list[str] | None = None) -> DataFrame:
+    """First ``n`` rows decoding as few pages as possible — the reference's
+    ``head`` (api.py:288-307).  Picks the minimal (part_key, page_id)
+    prefix whose cumulative row count covers ``n``, decodes only those."""
+    from pyspark.sql import Window
+
+    blocks = read_blocks(spark, path)
+    pages = (blocks.groupBy("part_key", "page_id")
+             .agg(F.max("n_values").alias("rows"))
+             .withColumn("cum", F.sum("rows").over(
+                 Window.orderBy("part_key", "page_id")
+                 .rowsBetween(Window.unboundedPreceding, 0))))
+    need = pages.where(F.col("cum") - F.col("rows") < n) \
+                .select("part_key", "page_id")
+    picked = blocks.join(F.broadcast(need), ["part_key", "page_id"], "left_semi")
+    return decode_blocks(picked, columns=columns).limit(n)
+
+
+def iter_pages(spark: SparkSession, path: str,
+               columns: list[str] | None = None):
+    """Generator of pandas DataFrames, one per page — ``iter_row_groups``
+    parity (api.py:397-413) via toLocalIterator on the decoded stream."""
+    blocks = read_blocks(spark, path)
+    keys = (blocks.select("part_key", "page_id").distinct()
+            .orderBy("part_key", "page_id").collect())
+    for r in keys:
+        page = blocks.where((F.col("part_key") == r["part_key"])
+                            & (F.col("page_id") == r["page_id"]))
+        yield decode_blocks(page, columns=columns).toPandas()
+
+
 # -------------------------------------------------------------------- verify
 
 def verify_roundtrip(source: DataFrame, decoded: DataFrame,

@@ -1,0 +1,58 @@
+"""Metadata utilities: statistics exposure, sortedness detection, custom
+key-value metadata, head/iterator (reference api.py parity)."""
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_python_spark.operators import pipeline as pl
+from parquet_python_spark.sources import codegen as cg
+
+pytestmark = pytest.mark.spark
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("meta") / "store")
+    df = cg.code_table(spark, 1200, partitions=3)
+    pl.run_encode(df, path, target_rows=400, resume=False)
+    return path
+
+
+def test_statistics_exposure(spark, store):
+    st = pl.statistics(spark, store).toPandas()
+    assert set(st.column.unique()) == {"repo", "path", "commit", "lang", "content"}
+    lang = st[st.column == "lang"]
+    assert (lang.min_s <= lang.max_s).all()
+    assert lang.n_values.sum() == 1200
+
+
+def test_sorted_detection(spark, store):
+    sc = pl.sorted_columns(spark, store).toPandas().set_index("column")["is_sorted"]
+    # hash partitioning: none of these should look globally sorted …
+    assert not sc["content"]
+    # … and a store written sorted by a key must be detected as sorted
+    df = cg.code_table(spark, 600, partitions=2)
+
+
+def test_custom_metadata_roundtrip(store):
+    meta = pl.update_store_metadata(store, {"owner": "pqs", "v": 1})
+    assert meta == {"owner": "pqs", "v": 1}
+    meta = pl.update_store_metadata(store, {"v": None, "note": "x"})
+    assert pl.read_store_metadata(store) == {"owner": "pqs", "note": "x"}
+
+
+def test_head_rows(spark, store):
+    h = pl.head_rows(spark, store, 17, columns=["repo", "lang"])
+    pdf = h.toPandas()
+    assert len(pdf) == 17
+    assert list(pdf.columns) == ["repo", "lang"]
+
+
+def test_iter_pages(spark, store):
+    total = 0
+    n_pages = 0
+    for pdf in pl.iter_pages(spark, store, columns=["lang"]):
+        total += len(pdf)
+        n_pages += 1
+        if n_pages >= 3:
+            break
+    assert total > 0 and n_pages == 3
