@@ -255,6 +255,10 @@ def encode_block(arr: pa.Array, codec: int, comp: int = compression.UNCOMPRESSED
         # reference semantics: DECIMAL decodes to float64
         # (fastparquet/converted_types.py:176-190)
         arr = arr.cast(pa.float64())
+    if pa.types.is_fixed_size_binary(arr.type):
+        # FIXED_LEN_BYTE_ARRAY parity (fastparquet/writer.py:278-279):
+        # carried as variable binary; values are identical on decode
+        arr = arr.cast(pa.binary())
     dt = dtype_id_for_arrow(arr.type)
     n = len(arr)
     n_nulls = arr.null_count

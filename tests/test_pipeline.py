@@ -124,3 +124,13 @@ def test_testdata_tables_roundtrip(spark, tmp_path):
         decoded = pl.decode_blocks(pl.read_blocks(spark, store))
         res = pl.verify_roundtrip(src, decoded)
         assert res["ok"], (name, res)
+
+
+def test_pipeline_with_block_compression(spark, code_df, tmp_path):
+    store = str(tmp_path / "gz")
+    pl.run_encode(code_df, store, target_rows=1000, compression="GZIP",
+                  resume=False)
+    blocks = pl.read_blocks(spark, store)
+    assert blocks.select("compression").distinct().collect()[0][0] == "GZIP"
+    res = pl.verify_roundtrip(code_df, pl.decode_blocks(blocks))
+    assert res["ok"], res
