@@ -131,7 +131,11 @@ def _build_table(sample: np.ndarray) -> tuple[list[np.ndarray], list[bytes]]:
         counts = np.bincount(keys[ok], minlength=512 * 512)
         budget = MAX_MERGED - (next_id - BASE)
         # A merge saves (count - overhead) bytes; require a real win.
-        top = np.argsort(counts)[::-1][: budget * 2]
+        # argpartition: full argsort of the 512² count table costs more
+        # than the merge pass itself on small blocks
+        k = min(budget * 2, len(counts) - 1)
+        cand_top = np.argpartition(counts, -k)[-k:]
+        top = cand_top[np.argsort(counts[cand_top])[::-1]]
         lut = np.full(512 * 512, 0xFFFF, dtype=np.uint16)
         made = 0
         for key in top:

@@ -145,19 +145,25 @@ def make_encode_group(cols: list[str], page_bytes: int = DEFAULT_PAGE_BYTES,
         split_id = int(tbl["split_id"][0].as_py()) if "split_id" in tbl.column_names else 0
         rh_all = (np.asarray(tbl["_row_hash"].combine_chunks(), dtype=np.int64)
                   if "_row_hash" in tbl.column_names else None)
-        rows_per_page = max(int(page_bytes / _sampled_bytes_per_row(tbl, cols)), 1024)
-        for page_id, lo in enumerate(range(0, n, rows_per_page)):
-            hi = min(lo + rows_per_page, n)
-            rh = (int(np.bitwise_xor.reduce(
-                rh_all[lo:hi].view(np.uint64)).astype(np.int64))
-                if rh_all is not None and hi > lo else 0)
-            for ci, c in enumerate(cols):
-                arr = tbl[c].slice(lo, hi - lo).combine_chunks()
+        # pages are sized PER COLUMN (parquet column-chunk model): a narrow
+        # column becomes one big block per group while a wide one splits —
+        # this amortizes per-block fixed costs (symbol-table builds,
+        # selector sampling) that dominated with row-aligned pages
+        for ci, c in enumerate(cols):
+            col = tbl[c].combine_chunks()
+            bpr = _sampled_bytes_per_row(tbl, [c])
+            rows_per_page = max(int(page_bytes / bpr), 1024)
+            for page_id, lo in enumerate(range(0, n, rows_per_page)):
+                hi = min(lo + rows_per_page, n)
+                arr = col.slice(lo, hi - lo)
                 t0 = time.perf_counter()
                 choice = selector.choose(arr)
                 blk = enc.encode_block(arr, choice.codec, comp_id)
                 ms = (time.perf_counter() - t0) * 1000.0
                 mn, mx = _minmax_str(arr)
+                rh = (int(np.bitwise_xor.reduce(
+                    rh_all[lo:hi].view(np.uint64)).astype(np.int64))
+                    if rh_all is not None and ci == 0 and hi > lo else 0)
                 out.append(dict(
                     part_key=part_key, repo=repo, split_id=split_id,
                     page_id=page_id, col_idx=ci, column=c,
@@ -405,17 +411,24 @@ def decode_blocks(blocks: DataFrame, columns: list[str] | None = None,
     expected = to_arrow_schema(schema)
 
     def decode_group(key: tuple, tbl: pa.Table) -> pa.Table:
-        order = np.argsort(np.asarray(tbl["col_idx"].combine_chunks()))
-        names = tbl["column"].combine_chunks()
+        """One part's blocks: per column, decode pages in page_id order and
+        concatenate — pages are per-column (independent row splits), but
+        every column covers the same rows in the same order."""
+        names = tbl["column"].to_pylist()
+        pages = tbl["page_id"].to_pylist()
         blocks_col = tbl["block"].combine_chunks()
+        per_col: dict[str, list] = {}
+        for i in range(len(names)):  # one iteration per block (not per row)
+            per_col.setdefault(names[i], []).append((pages[i], i))
         data = {}
-        for i in order:  # one iteration per column block (not per row)
-            data[names[int(i)].as_py()] = enc.decode_block(
-                blocks_col[int(i)].as_py())
+        for c, lst in per_col.items():
+            arrs = [enc.decode_block(blocks_col[i].as_py())
+                    for _, i in sorted(lst)]
+            data[c] = pa.concat_arrays(arrs) if len(arrs) > 1 else arrs[0]
         # cast to Spark's exact arrow schema (tz metadata on timestamps)
         return pa.table({c: data[c] for c in want_cols}).cast(expected)
 
-    out = blocks.groupBy("part_key", "page_id").applyInArrow(decode_group, schema)
+    out = blocks.groupBy("part_key").applyInArrow(decode_group, schema)
     if filters is not None:
         out = filt.apply_filters(out, filters)
     return out
@@ -428,56 +441,52 @@ def _norm_filters(filters):
 
 
 def prune_blocks(blocks: DataFrame, filters) -> DataFrame:
-    """Drop whole *pages* whose stats prove no row can match — the
+    """Drop whole *parts* whose stats prove no row can match — the
     reference's ``filter_out_stats`` (api.py:1125-1183) over our lineage
-    stats. Conservative: a page survives unless some AND-group member
-    disproves it for every OR-group. String-rendered stats are compared
-    lexicographically, so pruning applies to string columns only; others
-    pass through (correctness is preserved by the re-filter after decode)."""
+    stats.  Pages are per-column row splits, so the prunable unit is the
+    part (row group): a triple (c, op, v) is possibly-true for a part if
+    ANY page of column c could contain a matching value.  String-rendered
+    stats compare lexicographically, so pruning applies to string columns;
+    others pass through (correctness is preserved by the re-filter after
+    decode)."""
     groups = _norm_filters(filters)
     if not groups:
         return blocks
     str_dt = enc.DT_STRING
 
-    # Build per-page survival: page survives if ANY group is possibly-true.
-    # A triple (c,op,v) is possibly-true unless stats disprove it.
-    stats = blocks.select("part_key", "page_id", "column", "dtype_id",
-                          "min_s", "max_s")
+    stats = blocks.select("part_key", "column", "dtype_id", "min_s", "max_s")
     surviving = None
     for grp in groups:
         cond = F.lit(True)
         for c, op, v in grp:
-            col_stats_min = F.max(F.when(F.col("column") == c, F.col("min_s")))
-            col_stats_max = F.max(F.when(F.col("column") == c, F.col("max_s")))
-            is_str = F.max(F.when(F.col("column") == c,
-                                  (F.col("dtype_id") == str_dt).cast("int"))) == 1
+            is_col = F.col("column") == c
+            eligible = is_col & (F.col("dtype_id") == str_dt) \
+                & F.col("min_s").isNotNull()
             sv = F.lit(str(v))
             if op in ("==", "="):
-                t = (col_stats_min <= sv) & (col_stats_max >= sv)
+                row_p = (F.col("min_s") <= sv) & (F.col("max_s") >= sv)
             elif op == "<":
-                t = col_stats_min < sv
+                row_p = F.col("min_s") < sv
             elif op == "<=":
-                t = col_stats_min <= sv
+                row_p = F.col("min_s") <= sv
             elif op == ">":
-                t = col_stats_max > sv
+                row_p = F.col("max_s") > sv
             elif op == ">=":
-                t = col_stats_max >= sv
+                row_p = F.col("max_s") >= sv
             elif op == "in":
-                t = None
+                row_p = F.lit(False)
                 for item in v:
-                    ti = (col_stats_min <= F.lit(str(item))) & (col_stats_max >= F.lit(str(item)))
-                    t = ti if t is None else (t | ti)
-                if t is None:
-                    t = F.lit(False)
+                    row_p = row_p | ((F.col("min_s") <= F.lit(str(item)))
+                                     & (F.col("max_s") >= F.lit(str(item))))
             else:  # != / not in: stats can't disprove cheaply — keep
-                t = F.lit(True)
-            # non-string dtype or missing stats -> cannot prune -> true
-            t = F.when(is_str & col_stats_min.isNotNull(), t).otherwise(F.lit(True))
-            cond = cond & t
+                row_p = F.lit(True)
+            has_eligible = F.max(F.when(eligible, 1).otherwise(0)) == 1
+            any_possible = F.max(F.when(eligible & row_p, 1).otherwise(0)) == 1
+            cond = cond & F.when(has_eligible, any_possible).otherwise(F.lit(True))
         surviving = cond if surviving is None else (surviving | cond)
-    keep = (stats.groupBy("part_key", "page_id").agg(surviving.alias("_keep"))
-            .where(F.col("_keep")).select("part_key", "page_id"))
-    return blocks.join(keep, ["part_key", "page_id"], "left_semi")
+    keep = (stats.groupBy("part_key").agg(surviving.alias("_keep"))
+            .where(F.col("_keep")).select("part_key"))
+    return blocks.join(keep, ["part_key"], "left_semi")
 
 
 # ------------------------------------------------------- metadata utilities
@@ -548,28 +557,27 @@ def head_rows(spark: SparkSession, path: str, n: int,
     from pyspark.sql import Window
 
     blocks = read_blocks(spark, path)
-    pages = (blocks.groupBy("part_key", "page_id")
-             .agg(F.max("n_values").alias("rows"))
+    parts = (blocks.groupBy("part_key", "column")
+             .agg(F.sum("n_values").alias("rows"))
+             .groupBy("part_key").agg(F.max("rows").alias("rows"))
              .withColumn("cum", F.sum("rows").over(
-                 Window.orderBy("part_key", "page_id")
+                 Window.orderBy("part_key")
                  .rowsBetween(Window.unboundedPreceding, 0))))
-    need = pages.where(F.col("cum") - F.col("rows") < n) \
-                .select("part_key", "page_id")
-    picked = blocks.join(F.broadcast(need), ["part_key", "page_id"], "left_semi")
+    need = parts.where(F.col("cum") - F.col("rows") < n).select("part_key")
+    picked = blocks.join(F.broadcast(need), ["part_key"], "left_semi")
     return decode_blocks(picked, columns=columns).limit(n)
 
 
 def iter_pages(spark: SparkSession, path: str,
                columns: list[str] | None = None):
-    """Generator of pandas DataFrames, one per page — ``iter_row_groups``
-    parity (api.py:397-413) via toLocalIterator on the decoded stream."""
+    """Generator of pandas DataFrames, one per part (row group) —
+    ``iter_row_groups`` parity (api.py:397-413)."""
     blocks = read_blocks(spark, path)
-    keys = (blocks.select("part_key", "page_id").distinct()
-            .orderBy("part_key", "page_id").collect())
+    keys = (blocks.select("part_key").distinct()
+            .orderBy("part_key").collect())
     for r in keys:
-        page = blocks.where((F.col("part_key") == r["part_key"])
-                            & (F.col("page_id") == r["page_id"]))
-        yield decode_blocks(page, columns=columns).toPandas()
+        grp = blocks.where(F.col("part_key") == r["part_key"])
+        yield decode_blocks(grp, columns=columns).toPandas()
 
 
 # -------------------------------------------------------------------- verify
