@@ -50,13 +50,21 @@ def shingles(df: DataFrame, col: str = "text", id_col: str = "doc_id",
     (stopword-like n-grams that would otherwise quadratically blow up the
     similarity join on a skewed corpus).
     """
+    from pyspark.sql import Window
+
+    # ONE regex pass → posexplode → window leads.  (A transform() lambda
+    # with element_at(toks, i+j) re-evaluates the regexp_extract_all for
+    # every element — no common-subexpression elimination across the
+    # lambda boundary; measured 27 s vs ~2 s on 5k docs.)
     toks = F.regexp_extract_all(F.lower(F.col(col)), F.lit(WORD_RE), 0)
-    # 1-based positions i..i+n-1, i in [1, size-n+1]
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
-    )
-    out = (df.select(F.col(id_col), F.explode(grams).alias("shingle"))
+    exploded = df.select(F.col(id_col), F.posexplode(toks).alias("pos", "tok"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, n)]
+    out = (exploded
+           .withColumn("shingle", F.when(parts[-1].isNotNull(),
+                                         F.concat_ws(" ", *parts)))
+           .where(F.col("shingle").isNotNull())
+           .select(id_col, "shingle")
            .distinct())
     if docfreq_cap is not None:
         hot = (out.groupBy("shingle").count()

@@ -70,7 +70,7 @@ def measure(cpus: int, rows: int, reps: int) -> dict:
 
 
 def main():
-    n = int(os.environ.get("SCALING_N", "2"))
+    n = int(os.environ.get("SCALING_N", "1"))
     rows = int(os.environ.get("SCALING_ROWS", "300000"))
     reps = int(os.environ.get("SCALING_REPS", "4"))
     lo = measure(n, rows, reps)
