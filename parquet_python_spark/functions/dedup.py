@@ -121,24 +121,36 @@ def minhash_lsh_pairs(df: DataFrame, col: str = "text", id_col: str = "doc_id",
     """MinHash + LSH banding: candidates share one band hash; estimated
     similarity = fraction of equal minhashes; filter at ``tau``."""
     rows_per_band = n_hashes // bands
-    sig = minhash_signatures(df, col, id_col, n_hashes, n, docfreq_cap).cache()
-    band = (
-        sig.withColumn("band", (F.col("j") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(F.md5(F.array_join(F.transform(
-            F.array_sort(F.collect_list(F.struct("j", "h"))),
-            lambda x: x["h"]), ",")).alias("bh"))
-    )
-    ba = band.select(F.col(id_col).alias("a"), "band", "bh")
-    bb = band.select(F.col(id_col).alias("b"), "band", "bh")
+    sig = minhash_signatures(df, col, id_col, n_hashes, n, docfreq_cap)
+    # one row per doc carrying the full signature array (j-ordered); bands
+    # are slices of it — the band equi-join then carries the signatures
+    # along, so estimation needs NO further join against the signature table
+    sig_arr = (sig.groupBy(id_col)
+               .agg(F.transform(F.array_sort(F.collect_list(F.struct("j", "h"))),
+                                lambda x: x["h"]).alias("sig")))
+    banded = sig_arr.select(
+        id_col, "sig",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.md5(F.array_join(
+                         F.slice("sig", i * rows_per_band + 1, rows_per_band),
+                         ",")).alias("bh"))
+            for i in range(bands)])).alias("bk"),
+    ).select(id_col, "sig", F.col("bk.band").alias("band"),
+             F.col("bk.bh").alias("bh"))
+    ba = banded.select(F.col(id_col).alias("a"), F.col("sig").alias("siga"),
+                       "band", "bh")
+    bb = banded.select(F.col(id_col).alias("b"), F.col("sig").alias("sigb"),
+                       "band", "bh")
     cand = (ba.join(bb, ["band", "bh"]).where(F.col("a") < F.col("b"))
-            .select("a", "b").distinct())
-    sa = sig.select(F.col(id_col).alias("a"), "j", F.col("h").alias("ha"))
-    sb = sig.select(F.col(id_col).alias("b"), "j", F.col("h").alias("hb"))
-    est = (cand.join(sa, "a").join(sb, ["b", "j"])
-           .groupBy("a", "b")
-           .agg(F.round(F.sum((F.col("ha") == F.col("hb")).cast("int"))
-                        / F.lit(float(n_hashes)), 3).alias("est_jaccard")))
+            .select("a", "b", "siga", "sigb")
+            .dropDuplicates(["a", "b"]))
+    eq = F.aggregate(
+        F.zip_with("siga", "sigb", lambda x, y: (x == y).cast("int")),
+        F.lit(0), lambda acc, v: acc + v)
+    est = cand.select(
+        "a", "b",
+        F.round(eq / F.lit(float(n_hashes)), 3).alias("est_jaccard"))
     return est.where(F.col("est_jaccard") >= tau)
 
 
