@@ -102,10 +102,19 @@ def bench_encode(spark, n_rows: int) -> dict:
         stats = pl.run_encode(df, store, target_rows=TARGET_ROWS, resume=False)
         w = time.perf_counter() - t0
         wall = w if wall is None else min(wall, w)
+    # decode the full store back (min-of-2 as well)
+    dec_wall = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        pl.decode_blocks(pl.read_blocks(spark, store)).count()
+        w = time.perf_counter() - t0
+        dec_wall = w if dec_wall is None else min(dec_wall, w)
     shutil.rmtree(store, ignore_errors=True)
     gb = stats["raw_bytes"] / 1e9
     return {"rows": stats["rows"], "gb": round(gb, 3), "sec": round(wall, 2),
             "gbps": round(gb / wall, 4), "cpus": CPUS,
+            "decode_sec": round(dec_wall, 2),
+            "decode_gbps": round(gb / dec_wall, 4),
             "enc_ratio": round(stats["enc_bytes"] / max(stats["raw_bytes"], 1), 4)}
 
 
