@@ -145,13 +145,20 @@ def q_q1_pricing_decoded(spark, sf_dir):
 
 
 def q_roundtrip_embeddings(spark, sf_dir):
-    """LIST-column pipeline parity: encode/decode array<float> embeddings."""
+    """LIST-column pipeline parity: encode/decode array<float> embeddings.
+
+    Output is posexploded to (vec_id, label, idx, val) scalars — the driver
+    canonicalizer sorts column values, and an array column is unsortable in
+    pandas (r1 red row); element-wise rows also make the fidelity check
+    strictly stronger (per-element equality, not whole-array)."""
     src = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
            .withColumn("repo", (F.col("vec_id") % 5).cast("string"))
            .withColumn("path", F.col("vec_id").cast("string"))
            .withColumn("commit", F.lit("0")))
     blocks = pl.encode_table(src, columns=["vec_id", "embedding", "label"])
-    return pl.decode_blocks(blocks)
+    d = pl.decode_blocks(blocks)
+    return d.select("vec_id", "label",
+                    F.posexplode("embedding").alias("idx", "val"))
 
 
 def q_token_count(spark, sf_dir):
@@ -207,7 +214,10 @@ def q_simhash_pairs(spark, sf_dir):
 
 
 def q_winnow_fingerprint(spark, sf_dir):
-    return text.winnow_fingerprints(_documents(spark, sf_dir))
+    # exploded to (doc_id, fp) scalar rows: the driver's rows-only check
+    # canonicalizes by sorting values, which an array column can't do
+    return (text.winnow_fingerprints(_documents(spark, sf_dir))
+            .select("doc_id", F.explode("fingerprints").alias("fp")))
 
 
 def q_media_features(spark, sf_dir):
@@ -301,8 +311,12 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1997-06-30 00:00:00'
             GROUP BY l_returnflag, l_linestatus""",
-        "roundtrip_embeddings":
-            "SELECT vec_id, embedding, label FROM embeddings",
+        "roundtrip_embeddings": """
+            SELECT vec_id, label, CAST(u.i - 1 AS INT) AS idx, u.v AS val
+            FROM (SELECT vec_id, label,
+                         unnest(list_transform(range(1, len(embedding) + 1),
+                                i -> {'i': i, 'v': embedding[i]})) AS u
+                  FROM embeddings)""",
         "token_count": r"""
             SELECT doc_id,
                    len(regexp_extract_all(text, '\S+'))::INT AS n_tokens,
