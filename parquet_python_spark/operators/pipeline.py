@@ -102,12 +102,36 @@ def _sampled_bytes_per_row(tbl: pa.Table, cols: list[str]) -> float:
     return max(total, 1.0)
 
 
+STATS_TRUNCATE = 64
+
+
+def _truncate_max(s: str, limit: int = STATS_TRUNCATE) -> str | None:
+    """Upper-bound truncation for a max stat (parquet-style): keep a prefix
+    and increment its last incrementable character, so the stored value is
+    >= every string sharing the prefix.  Plain prefix truncation is only
+    valid for MIN stats — a truncated max is lexicographically SMALLER than
+    the true max and makes pruning drop matching parts.  Returns None
+    (= ineligible for pruning) when no character can be incremented."""
+    if len(s) <= limit:
+        return s
+    t = s[:limit]
+    for i in range(len(t) - 1, -1, -1):
+        cp = ord(t[i])
+        # stay a valid unicode scalar: skip into/through the surrogate gap
+        if cp < 0xD7FF or 0xE000 <= cp < 0x10FFFF:
+            return t[:i] + chr(cp + 1)
+    return None
+
+
 def _minmax_str(arr: pa.Array) -> tuple[str | None, str | None]:
     try:
         mm = pa.compute.min_max(arr)
         lo, hi = mm["min"].as_py(), mm["max"].as_py()
-        fmt = lambda v: None if v is None else str(v)[:64]
-        return fmt(lo), fmt(hi)
+        # min: prefix truncation is sound (prefix <= full string);
+        # max: needs the increment trick above
+        lo_s = None if lo is None else str(lo)[:STATS_TRUNCATE]
+        hi_s = None if hi is None else _truncate_max(str(hi))
+        return lo_s, hi_s
     except pa.ArrowNotImplementedError:
         return None, None
 
@@ -215,15 +239,61 @@ def encode_table(df: DataFrame, columns: list[str] | None = None,
 
 # ---------------------------------------------------------------- blockstore
 
+def _list_part_files(path: str) -> set[str]:
+    """Data files currently committed in a store directory.  Local-FS
+    listing here; on HDFS/S3 the same diff comes from the FileSystem
+    listStatus API (job commits make files appear atomically)."""
+    import glob
+    import os
+
+    return set(glob.glob(os.path.join(path, "part-*")))
+
+
+def _is_path_missing(exc: Exception) -> bool:
+    """True only for path-not-found analysis errors.  Anything else (IO
+    failure, corrupted footer, permissions) must propagate — swallowing it
+    would misread a damaged store as 'fresh' and duplicate-append."""
+    msg = str(exc)
+    return "PATH_NOT_FOUND" in msg or "Path does not exist" in msg
+
+
 def write_blockstore(blocks: DataFrame, path: str, mode: str = "append") -> None:
     """Persist blocks + derived lineage (the `_metadata` analogue).
 
+    Lineage is computed incrementally from the files this call just wrote —
+    O(new data), never a rescan of the whole store (a micro-batch append to
+    a 100-TB store must not re-read 100 TB of history).  The blocks table is
+    the ground truth for resume (see ``completed_part_keys``): a failure
+    between the blocks write and the lineage write leaves lineage stale but
+    never causes duplicate encodes.
+
     Parquet-level compression is off: block payloads are already encoded
     (and optionally cramjam-compressed) — recompressing burns CPU for ~0%."""
-    blocks.write.mode(mode).option("compression", "none").parquet(f"{path}/blocks")
     spark = blocks.sparkSession
-    written = spark.read.parquet(f"{path}/blocks")
-    lineage_from_blocks(written).write.mode("overwrite").parquet(f"{path}/lineage")
+    bdir = f"{path}/blocks"
+    before = _list_part_files(bdir) if mode == "append" else set()
+    blocks.write.mode(mode).option("compression", "none").parquet(bdir)
+    new_files = sorted(_list_part_files(bdir) - before)
+    if not new_files:
+        return
+    new_lin = lineage_from_blocks(spark.read.parquet(*new_files))
+    old = None
+    if mode == "append":
+        try:
+            old = read_lineage(spark, path)
+        except Exception as e:  # noqa: BLE001 — re-raised unless path-missing
+            if not _is_path_missing(e):
+                raise
+    if old is not None:
+        # materialize the (tiny) old lineage driver-side before overwriting
+        # the directory it was read from
+        old_local = spark.createDataFrame(old.toPandas(), schema=old.schema)
+        merged = (old_local.join(new_lin.select("part_key"),
+                                 "part_key", "left_anti")
+                  .unionByName(new_lin))
+    else:
+        merged = new_lin
+    merged.write.mode("overwrite").parquet(f"{path}/lineage")
 
 
 def lineage_from_blocks(blocks: DataFrame) -> DataFrame:
@@ -260,19 +330,29 @@ def read_lineage(spark: SparkSession, path: str) -> DataFrame:
 
 
 def completed_part_keys(spark: SparkSession, path: str) -> DataFrame | None:
-    """Completed part_keys from lineage, or None if no store exists yet."""
+    """Completed part_keys, or None if no store exists yet.
+
+    Derived from the BLOCKS table, not lineage: parquet job commits make
+    block files appear atomically, so a part_key present in blocks was
+    fully written — even if the follow-up lineage write crashed.  The scan
+    is column-pruned to the one part_key value per block row (the binary
+    payload column is never read)."""
     try:
-        return read_lineage(spark, path).where(
-            F.col("status") == "complete").select("part_key")
-    except Exception:
-        return None
+        return (spark.read.parquet(f"{path}/blocks")
+                .select("part_key").distinct())
+    except Exception as e:  # noqa: BLE001 — re-raised unless path-missing
+        if _is_path_missing(e):
+            return None
+        raise
 
 
 def load_plan(spark: SparkSession, path: str) -> DataFrame | None:
     try:
         return spark.read.parquet(f"{path}/plan")
-    except Exception:
-        return None
+    except Exception as e:  # noqa: BLE001 — re-raised unless path-missing
+        if _is_path_missing(e):
+            return None
+        raise
 
 
 def _plan_for_store(df: DataFrame, path: str, target_rows: int) -> DataFrame:
@@ -302,14 +382,26 @@ def run_encode(df: DataFrame, path: str,
                target_rows: int = part.DEFAULT_TARGET_ROWS,
                page_bytes: int = DEFAULT_PAGE_BYTES,
                compression: str = "UNCOMPRESSED",
-               resume: bool = True) -> dict:
+               resume: bool = True,
+               generation: int | None = None) -> dict:
     """End-to-end encode run: plan → (resume anti-join) → encode → store.
+
+    ``resume=True`` with ``generation=None`` is valid only when re-running
+    the SAME source (idempotent retry): completion is keyed on part_key, so
+    rows arriving later into an already-complete bucket would be dropped.
+    Incremental appends must pass a monotonically increasing ``generation``
+    (e.g. the streaming micro-batch id): part_keys are composed with it, so
+    each arrival encodes into fresh parts while an identical replay of the
+    same generation is still skipped exactly-once.
 
     Returns summary metrics from the lineage table.
     """
     spark = df.sparkSession
     plan = _plan_for_store(df, path, target_rows)
     assigned = part.assign_part_keys(df, plan)
+    if generation is not None:
+        assigned = assigned.withColumn(
+            "part_key", F.xxhash64("part_key", F.lit(int(generation))))
     if resume:
         done = completed_part_keys(spark, path)
         if done is not None:
@@ -460,8 +552,15 @@ def prune_blocks(blocks: DataFrame, filters) -> DataFrame:
         cond = F.lit(True)
         for c, op, v in grp:
             is_col = F.col("column") == c
-            eligible = is_col & (F.col("dtype_id") == str_dt) \
-                & F.col("min_s").isNotNull()
+            # a truncated-beyond-repair max stat is stored NULL — such a
+            # page is eligible only for ops that don't consult the max
+            need_min = op in ("==", "=", "<", "<=", "in")
+            need_max = op in ("==", "=", ">", ">=", "in")
+            eligible = is_col & (F.col("dtype_id") == str_dt)
+            if need_min:
+                eligible = eligible & F.col("min_s").isNotNull()
+            if need_max:
+                eligible = eligible & F.col("max_s").isNotNull()
             sv = F.lit(str(v))
             if op in ("==", "="):
                 row_p = (F.col("min_s") <= sv) & (F.col("max_s") >= sv)

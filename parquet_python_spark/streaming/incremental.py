@@ -26,7 +26,16 @@ def stream_encode(spark: SparkSession, source_dir: str, store: str,
     """Encode parquet files as they arrive in ``source_dir``.
 
     Returns the started StreamingQuery.  Each micro-batch runs the batch
-    pipeline with ``resume=True`` — lineage is the idempotence ledger.
+    pipeline with ``generation=batch_id``: part_keys are composed with the
+    micro-batch id, so rows arriving into a bucket whose earlier generation
+    already completed are still encoded (r1 keyed completion on part_key
+    alone and silently dropped them), while a crash-replay of the SAME
+    batch_id re-creates identical keys and is skipped by the resume
+    anti-join — exactly-once on top of at-least-once delivery.
+
+    Note: generation-composed stores support append / decode / resume;
+    ``overwrite_partitions`` assumes batch-keyed parts — for a streamed
+    store, rewrite by re-encoding from source instead.
     """
     src = (spark.readStream.schema(schema)
            .option("maxFilesPerTrigger", "16")
@@ -36,7 +45,8 @@ def stream_encode(spark: SparkSession, source_dir: str, store: str,
         if batch_df.isEmpty():
             return
         pl.run_encode(batch_df, store, columns=columns,
-                      target_rows=target_rows, resume=True)
+                      target_rows=target_rows, resume=True,
+                      generation=int(batch_id))
 
     writer = (src.writeStream.foreachBatch(process)
               .option("checkpointLocation",

@@ -126,6 +126,38 @@ def test_testdata_tables_roundtrip(spark, tmp_path):
         assert res["ok"], (name, res)
 
 
+def test_long_string_stats_do_not_misprune(spark, tmp_path):
+    """r2 ADVICE(high): a >64-char value must survive equality pruning.
+    Plain prefix truncation of max_s made the stored max smaller than the
+    true max, so every part got pruned and matching rows were lost."""
+    long_val = "z" * 80  # sorts above its own 64-char prefix
+    pdf = pd.DataFrame({
+        "repo": ["r"] * 100, "path": [str(i) for i in range(100)],
+        "commit": ["0"] * 100,
+        "name": [long_val if i % 7 == 0 else f"short_{i:03d}"
+                 for i in range(100)],
+    })
+    df = spark.createDataFrame(pdf)
+    store = str(tmp_path / "longstr")
+    pl.run_encode(df, store, target_rows=50, resume=False)
+    blocks = pl.read_blocks(spark, store)
+    got = pl.decode_blocks(blocks, columns=["name"],
+                           filters=[("name", "==", long_val)]).count()
+    assert got == len([i for i in range(100) if i % 7 == 0])
+    # and the stored max is a sound upper bound, not a plain prefix
+    mx = (blocks.where(F.col("column") == "name")
+          .agg(F.max("max_s")).collect()[0][0])
+    assert mx is None or mx >= long_val
+
+
+def test_truncate_max_is_upper_bound():
+    for s in ["z" * 80, "abc" + "￿" * 70, "x" * 64 + "y"]:
+        t = pl._truncate_max(s)
+        if t is not None:
+            assert t >= s and len(t) <= pl.STATS_TRUNCATE
+    assert pl._truncate_max("short") == "short"
+
+
 def test_pipeline_with_block_compression(spark, code_df, tmp_path):
     store = str(tmp_path / "gz")
     pl.run_encode(code_df, store, target_rows=1000, compression="GZIP",

@@ -39,6 +39,30 @@ def test_stream_encode_available_now(spark, tmp_path):
     assert dup == 0, "resume anti-join must keep part_keys unique"
 
 
+def test_stream_incremental_arrival_keeps_all_rows(spark, tmp_path):
+    """r2 ADVICE(high): rows arriving AFTER a bucket's part completed must
+    still be encoded.  Two separate stream runs over a growing directory
+    (same checkpoint — the normal incremental path) must store every row."""
+    src_dir = str(tmp_path / "grow")
+    store = str(tmp_path / "gstore")
+    full = cg.code_table(spark, 1000, partitions=2).cache()
+    full.limit(600).coalesce(1).write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    q = st.stream_encode(spark, src_dir, store, schema, target_rows=200)
+    q.awaitTermination(120)
+    # late arrival into buckets that already completed a generation
+    full.subtract(full.limit(600)).coalesce(1).write.mode(
+        "append").parquet(src_dir)
+    q2 = st.stream_encode(spark, src_dir, store, schema, target_rows=200)
+    q2.awaitTermination(120)
+
+    decoded = pl.decode_blocks(pl.read_blocks(spark, store))
+    res = pl.verify_roundtrip(spark.read.parquet(src_dir), decoded)
+    assert res["ok"], res
+    full.unpersist()
+
+
 def test_windowed_metrics_batch_semantics(spark):
     events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     out = st.windowed_encode_metrics(events, window="1 day",
