@@ -200,17 +200,19 @@ def q_knn_ivf(spark, sf_dir):
     return similarity.cosine_topk_ivf(emb, _knn_queries(emb), k=5, bits=8)
 
 
-# rows-only (no SQL-expressible oracle): codec choice metrics, simhash,
-# winnowing, multimodal feature plumbing
+def q_simhash_pairs(spark, sf_dir):
+    # max_hamming=3 -> 4 derived bands over the 60-bit hash: full recall by
+    # pigeonhole, and md5-based token hashes make it oracle-reproducible
+    return dedup.simhash_near_pairs(_documents(spark, sf_dir), max_hamming=3)
+
+
+# rows-only (no SQL-expressible oracle): codec choice metrics, winnowing,
+# multimodal feature plumbing
 def q_codec_choices(spark, sf_dir):
     return (_doc_blocks(spark, sf_dir)
             .groupBy(F.col("column").alias("col_name"), "codec")
             .agg(F.count(F.lit(1)).alias("n_blocks"),
                  F.sum("encoded_size").alias("enc_bytes")))
-
-
-def q_simhash_pairs(spark, sf_dir):
-    return dedup.simhash_near_pairs(_documents(spark, sf_dir), max_hamming=16)
 
 
 def q_winnow_fingerprint(spark, sf_dir):
@@ -391,6 +393,33 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c.a, c.b
             HAVING round(SUM(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END)::DOUBLE
                          / 8, 3) >= 0.25""",
+        "simhash_pairs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+              FROM documents),
+            th AS (SELECT doc_id,
+                          ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h
+                   FROM toks),
+            votes AS (SELECT doc_id, b,
+                             SUM(CASE WHEN (h >> b) & 1 = 1
+                                 THEN 1 ELSE -1 END) AS v
+                      FROM th, (SELECT unnest(range(0, 60)) AS b) bs
+                      GROUP BY doc_id, b),
+            sh AS (SELECT doc_id,
+                          SUM(CASE WHEN v > 0 THEN (1::BIGINT << b)
+                              ELSE 0 END)::BIGINT AS simhash
+                   FROM votes GROUP BY doc_id),
+            banded AS (SELECT doc_id, simhash, i AS band,
+                              (simhash >> (i * 15)::INT) & 32767 AS key
+                       FROM sh, (SELECT unnest(range(0, 4)) AS i) bi),
+            cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                            x.simhash AS ha, y.simhash AS hb
+                     FROM banded x JOIN banded y
+                       ON x.band = y.band AND x.key = y.key
+                      AND x.doc_id < y.doc_id)
+            SELECT a, b, bit_count(xor(ha, hb))::INT AS hamming
+            FROM cand WHERE bit_count(xor(ha, hb)) <= 3""",
         "knn_bruteforce":
             "WITH " + _COS_PAIRS_CTE.format(extra_join="") + """
             SELECT q_id, n_id, cos_sim, rank FROM (

@@ -16,9 +16,6 @@ Scale-first design notes (100 TB thinking):
 """
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
-
 from pyspark.sql import DataFrame, functions as F
 
 from .text import WORD_RE
@@ -156,52 +153,71 @@ def minhash_lsh_pairs(df: DataFrame, col: str = "text", id_col: str = "doc_id",
 
 # ----------------------------------------------------------------- simhash
 
+SIMHASH_BITS = 60  # 15 md5 hex chars — the widest oracle-portable width
+
+
 def simhash(df: DataFrame, col: str = "text", id_col: str = "doc_id",
-            bits: int = 64) -> DataFrame:
-    """SimHash: per-token 64-bit hashes vote per bit; sign of the vote is
-    the bit.  Arrow-batched mapInPandas; all bit math is numpy over the
-    flattened token stream (no per-row Python hashing)."""
-    from pyspark.sql.types import LongType, StructField, StructType
-    schema = StructType([
-        StructField(id_col, LongType()),
-        StructField("simhash", LongType()),
-    ])
+            bits: int = SIMHASH_BITS) -> DataFrame:
+    """SimHash: per-token hashes vote per bit; sign of the vote is the bit.
 
-    def run(batches):
-        for pdf in batches:
-            split = pdf[col].fillna("").str.lower().str.findall(WORD_RE)
-            lens = split.str.len().to_numpy()
-            total = int(lens.sum())
-            flat = pd.Series(np.concatenate(split.to_numpy()) if total else [],
-                             dtype=object)
-            th = pd.util.hash_pandas_object(flat, index=False).to_numpy()
-            doc_of = np.repeat(np.arange(len(pdf)), lens)
-            votes = np.zeros((len(pdf), bits), dtype=np.int64)
-            for b in range(bits):  # 64 vectorized passes over all tokens
-                bit = ((th >> np.uint64(b)) & np.uint64(1)).astype(np.int64) * 2 - 1
-                np.add.at(votes[:, b], doc_of, bit)
-            sh = np.zeros(len(pdf), dtype=np.uint64)
-            for b in range(bits):
-                sh |= (votes[:, b] > 0).astype(np.uint64) << np.uint64(b)
-            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
-                                "simhash": sh.astype(np.int64)})
+    Token hash = first 15 hex chars of md5 (60 bits) — engine-portable, so
+    a DuckDB oracle reproduces the signature bit-for-bit (r1 used pandas'
+    hash_pandas_object: unverifiable AND silently tied to pandas' hash
+    stability across versions).  Everything is JVM expressions: explode →
+    md5/conv → ``bits`` conditional sums.  Partial aggregation (map-side
+    combine) means the groupBy shuffles one row of ``bits`` longs per doc,
+    never the token stream.  At production scale swap md5 for xxhash64 and
+    keep this variant as the oracle twin.
 
-    return df.select(id_col, col).mapInPandas(run, schema)
+    Docs with zero tokens produce no output row (explode semantics — the
+    oracle CTE behaves identically).
+    """
+    if not 1 <= bits <= SIMHASH_BITS:
+        raise ValueError(f"bits must be in [1, {SIMHASH_BITS}] "
+                         "(15 md5 hex chars -> 60 usable bits)")
+    toks = F.explode(
+        F.regexp_extract_all(F.lower(F.col(col)), F.lit(WORD_RE), 0))
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    e = df.select(F.col(id_col), toks.alias("tok")).select(
+        id_col, h.alias("h"))
+    votes = [
+        F.sum(F.when(F.shiftrightunsigned("h", b).bitwiseAND(F.lit(1)) == 1,
+                     1).otherwise(-1)).alias(f"v{b}")
+        for b in range(bits)]
+    agg = e.groupBy(id_col).agg(*votes)
+    sh = None
+    for b in range(bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sh = term if sh is None else sh + term
+    return agg.select(id_col, sh.cast("long").alias("simhash"))
 
 
 def simhash_near_pairs(df: DataFrame, col: str = "text", id_col: str = "doc_id",
-                       max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs within a Hamming ball: band the 64-bit simhash into 4
-    16-bit keys (pigeonhole: distance ≤3 ⇒ ≥1 identical band) and equi-join
-    on bands — never a cross join."""
-    sh = simhash(df, col, id_col).cache()
+                       max_hamming: int = 3,
+                       bits: int = SIMHASH_BITS) -> DataFrame:
+    """Near-dup pairs within a Hamming ball via banding — never a cross join.
+
+    Band count is DERIVED from ``max_hamming``: ``max_hamming + 1`` bands
+    partitioning all ``bits`` bits, so by pigeonhole any pair within the
+    ball shares at least one full band — full recall by construction (r1
+    fixed 4 bands but accepted any max_hamming, silently losing pairs
+    beyond distance 3)."""
+    n_bands = max_hamming + 1
+    if n_bands > bits:
+        raise ValueError(f"max_hamming={max_hamming} needs {n_bands} bands "
+                         f"but the hash has only {bits} bits")
+    width = bits // n_bands
+    # bands partition ALL bits: the last band absorbs the remainder
+    spans = [(i * width, width if i < n_bands - 1 else bits - i * width)
+             for i in range(n_bands)]
+    sh = simhash(df, col, id_col, bits)
     banded = sh.select(
         id_col, "simhash",
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("band"),
-                     F.shiftrightunsigned(F.col("simhash"), 16 * i)
-                     .bitwiseAND(F.lit(0xFFFF)).alias("key"))
-            for i in range(4)])).alias("bk"),
+                     F.shiftrightunsigned(F.col("simhash"), off)
+                     .bitwiseAND(F.lit((1 << w) - 1)).alias("key"))
+            for i, (off, w) in enumerate(spans)])).alias("bk"),
     ).select(id_col, "simhash", F.col("bk.band").alias("band"),
              F.col("bk.key").alias("key"))
     a = banded.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"),
@@ -210,7 +226,7 @@ def simhash_near_pairs(df: DataFrame, col: str = "text", id_col: str = "doc_id",
                       "band", "key")
     cand = (a.join(b, ["band", "key"]).where(F.col("a") < F.col("b"))
             .select("a", "b", "ha", "hb").distinct())
-    dist = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    dist = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int")
     return (cand.withColumn("hamming", dist)
             .where(F.col("hamming") <= max_hamming)
             .select("a", "b", "hamming"))
