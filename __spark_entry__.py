@@ -57,8 +57,11 @@ EVENT_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
 
 
 def _lineitem_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition lineitem by ship YEAR (the classic time-layout): parts then
+    carry narrow l_shipdate min/max ranges, so the q1 date predicate prunes
+    whole parts via typed stats instead of decoding 100% of pages."""
     df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    return (df.withColumn("repo", (F.col("l_orderkey") % 64).cast("string"))
+    return (df.withColumn("repo", F.concat(F.lit("y"), F.year("l_shipdate")))
             .withColumn("path", F.concat_ws("_", "l_orderkey", "l_linenumber"))
             .withColumn("commit", F.lit("0")))
 
@@ -111,6 +114,15 @@ def q_decode_filtered(spark, sf_dir):
                             filters=[("lang", "==", "en")])
 
 
+def q_decode_filtered_numeric(spark, sf_dir):
+    """Typed numeric stats pruning: int predicate skips whole parts before
+    decode (reference filter_out_stats parity, fastparquet api.py:1125-1183
+    + typed coercion api.py:1425-1518)."""
+    return pl.decode_blocks(_doc_blocks(spark, sf_dir),
+                            columns=["doc_id", "n_chars"],
+                            filters=[("n_chars", ">", 300)])
+
+
 def q_block_stats(spark, sf_dir):
     return (_doc_blocks(spark, sf_dir)
             .groupBy(F.col("column").alias("col_name"))
@@ -131,10 +143,19 @@ def q_stats_minmax(spark, sf_dir):
 
 
 def q_q1_pricing_decoded(spark, sf_dir):
+    """TPC-H Q1 over the blockstore with the scan behaving like a columnar
+    scan should: projection prunes the other columns' blocks before any
+    shuffle, and the shipdate filter prunes whole parts on typed numeric
+    stats (year-partitioned layout) before decode — r1 decoded all 11
+    columns of every block and filtered after."""
     blocks = pl.encode_table(_lineitem_source(spark, sf_dir),
                              columns=LINEITEM_COLS)
-    d = pl.decode_blocks(blocks)
-    return (d.where(F.col("l_shipdate") <= "1997-06-30")
+    d = pl.decode_blocks(
+        blocks,
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"],
+        filters=[("l_shipdate", "<=", "1997-06-30")])
+    return (d
             .groupBy("l_returnflag", "l_linestatus")
             .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
                  F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
@@ -233,6 +254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_events": q_roundtrip_events,
         "decode_projection": q_decode_projection,
         "decode_filtered": q_decode_filtered,
+        "decode_filtered_numeric": q_decode_filtered_numeric,
         "block_stats": q_block_stats,
         "count_without_decode": q_count_without_decode,
         "stats_minmax": q_stats_minmax,
@@ -292,6 +314,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang FROM documents",
         "decode_filtered":
             "SELECT doc_id, lang FROM documents WHERE lang = 'en'",
+        "decode_filtered_numeric":
+            "SELECT doc_id, n_chars FROM documents WHERE n_chars > 300",
         "block_stats":
             " UNION ALL ".join(
                 f"SELECT '{c}' AS col_name, count(*)::BIGINT AS n_values, "

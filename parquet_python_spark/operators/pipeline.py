@@ -68,6 +68,8 @@ BLOCKS_SCHEMA = StructType([
     StructField("encode_ms", DoubleType(), False),
     StructField("min_s", StringType(), True),
     StructField("max_s", StringType(), True),
+    StructField("min_num", DoubleType(), True),
+    StructField("max_num", DoubleType(), True),
     StructField("row_hash", LongType(), True),
     StructField("metrics", StringType(), True),
     StructField("block", BinaryType(), False),
@@ -136,6 +138,45 @@ def _minmax_str(arr: pa.Array) -> tuple[str | None, str | None]:
         return None, None
 
 
+def _num_bounds(lo: int | float, hi: int | float) -> tuple[float, float]:
+    """Conservative double bounds: the stored min must be <= the true min
+    and the stored max >= the true max even when an int64 doesn't round-trip
+    through float64 (|x| > 2^53 rounds to the nearest double, possibly the
+    wrong side — reference typed-stat coercion: fastparquet api.py:1425-1518
+    keeps native dtypes; we trade that for one engine-portable pair)."""
+    flo, fhi = float(lo), float(hi)
+    if flo > lo:
+        flo = float(np.nextafter(flo, -np.inf))
+    if fhi < hi:
+        fhi = float(np.nextafter(fhi, np.inf))
+    return flo, fhi
+
+
+def _minmax_num(arr: pa.Array, dt: int) -> tuple[float | None, float | None]:
+    """Typed numeric min/max as conservative doubles for int / float /
+    bool / timestamp-µs / date32 columns (timestamps and dates stored in
+    their integer-view units, µs and days)."""
+    if dt not in enc._INT_DTS and dt not in (enc.DT_FLOAT64, enc.DT_FLOAT32,
+                                             enc.DT_BOOL):
+        return None, None
+    if len(arr) == arr.null_count:
+        return None, None
+    if pa.types.is_timestamp(arr.type) and arr.type.unit != "us":
+        arr = arr.cast(pa.timestamp("us"))
+    try:
+        mm = pa.compute.min_max(arr)
+    except pa.ArrowNotImplementedError:
+        return None, None
+    lo, hi = mm["min"], mm["max"]
+    if lo.as_py() is None:
+        return None, None
+    if dt in (enc.DT_TIMESTAMP_US, enc.DT_DATE32):
+        return _num_bounds(lo.value, hi.value)  # raw int: µs / days
+    if dt == enc.DT_BOOL:
+        return float(lo.as_py()), float(hi.as_py())
+    return _num_bounds(lo.as_py(), hi.as_py())
+
+
 _ARROW_BLOCKS_SCHEMA = pa.schema([
     ("part_key", pa.int64()), ("repo", pa.string()), ("split_id", pa.int32()),
     ("page_id", pa.int32()), ("col_idx", pa.int32()), ("column", pa.string()),
@@ -144,6 +185,7 @@ _ARROW_BLOCKS_SCHEMA = pa.schema([
     ("n_nulls", pa.int64()), ("raw_size", pa.int64()),
     ("encoded_size", pa.int64()), ("encode_ms", pa.float64()),
     ("min_s", pa.string()), ("max_s", pa.string()),
+    ("min_num", pa.float64()), ("max_num", pa.float64()),
     ("row_hash", pa.int64()), ("metrics", pa.string()),
     ("block", pa.binary()),
 ])
@@ -185,6 +227,7 @@ def make_encode_group(cols: list[str], page_bytes: int = DEFAULT_PAGE_BYTES,
                 blk = enc.encode_block(arr, choice.codec, comp_id)
                 ms = (time.perf_counter() - t0) * 1000.0
                 mn, mx = _minmax_str(arr)
+                mn_n, mx_n = _minmax_num(arr, choice.dtype_id)
                 rh = (int(np.bitwise_xor.reduce(
                     rh_all[lo:hi].view(np.uint64)).astype(np.int64))
                     if rh_all is not None and ci == 0 and hi > lo else 0)
@@ -195,7 +238,8 @@ def make_encode_group(cols: list[str], page_bytes: int = DEFAULT_PAGE_BYTES,
                     dtype_id=choice.dtype_id, n_values=hi - lo,
                     n_nulls=int(arr.null_count), raw_size=int(arr.nbytes),
                     encoded_size=len(blk), encode_ms=ms,
-                    min_s=mn, max_s=mx, row_hash=rh,
+                    min_s=mn, max_s=mx, min_num=mn_n, max_num=mx_n,
+                    row_hash=rh,
                     metrics=_metrics_json(choice.metrics), block=blk,
                 ))
         return pa.Table.from_pylist(out, schema=_ARROW_BLOCKS_SCHEMA)
@@ -490,13 +534,17 @@ def decode_blocks(blocks: DataFrame, columns: list[str] | None = None,
     re-applies the exact predicate on decoded rows (the reference's two-level
     scheme: filter_row_groups then row_filter, api.py:691-794)."""
     if filters is not None:
-        blocks = prune_blocks(blocks, filters)
         need = {c for grp in _norm_filters(filters) for (c, _, _) in grp}
         if columns is not None:
             columns = list(dict.fromkeys(list(columns) + [c for c in need if c not in columns]))
     if columns is not None:
         blocks = blocks.where(F.col("column").isin(columns))
+    # infer the schema BEFORE stats pruning: a filter that prunes every
+    # part must still yield an empty frame with the right columns, not an
+    # unresolvable zero-column plan
     schema = infer_schema_from_blocks(blocks)
+    if filters is not None:
+        blocks = prune_blocks(blocks, filters)
 
     want_cols = [f.name for f in schema.fields]
     from pyspark.sql.pandas.types import to_arrow_schema
@@ -532,21 +580,90 @@ def _norm_filters(filters):
     return [filters] if filters and isinstance(filters[0], tuple) else filters
 
 
+_NUMERIC_DTS = (enc.DT_INT64, enc.DT_INT32, enc.DT_INT16, enc.DT_INT8,
+                enc.DT_BOOL, enc.DT_FLOAT64, enc.DT_FLOAT32,
+                enc.DT_TIMESTAMP_US, enc.DT_DATE32)
+
+
+def _prune_literals(v) -> dict:
+    """Typed renderings of one filter value for stats comparison: ``s``
+    (string), ``num`` (plain numeric), ``ts`` (µs since epoch), ``days``
+    (days since epoch, fractional for datetimes).  A key is None when the
+    value can't be read as that type — blocks of that dtype are then
+    ineligible for pruning (kept).  float() is monotonic, so comparing
+    exact int/timestamp values in double space against the conservative
+    double bounds never excludes a matching part."""
+    import datetime
+
+    out = {"s": None, "num": None, "ts": None, "days": None}
+    if isinstance(v, str):
+        out["s"] = v
+        try:
+            t = pd.Timestamp(v)
+            out["ts"] = float(t.value // 1000)
+            out["days"] = t.value / 86_400_000_000_000
+        except (ValueError, OverflowError):
+            pass
+    elif isinstance(v, bool) or isinstance(v, (int, float,
+                                               np.integer, np.floating)):
+        out["num"] = float(v)
+    elif isinstance(v, datetime.datetime):
+        t = pd.Timestamp(v)
+        out["ts"] = float(t.value // 1000)
+        out["days"] = t.value / 86_400_000_000_000
+    elif isinstance(v, datetime.date):
+        days = (v - datetime.date(1970, 1, 1)).days
+        out["days"] = float(days)
+        out["ts"] = float(days) * 86_400_000_000.0
+    return out
+
+
+def _num_lit_expr(lits: dict):
+    """Per-block-row literal: picks the rendering that matches the block's
+    integer-view units (µs for timestamps, days for date32)."""
+    return (F.when(F.col("dtype_id") == enc.DT_TIMESTAMP_US,
+                   F.lit(lits["ts"]).cast("double"))
+            .when(F.col("dtype_id") == enc.DT_DATE32,
+                  F.lit(lits["days"]).cast("double"))
+            .otherwise(F.lit(lits["num"]).cast("double")))
+
+
+def _range_pred(lo, hi, lit, op):
+    """Can a value satisfying ``x op lit`` exist in [lo, hi]?"""
+    if op in ("==", "="):
+        return (lo <= lit) & (hi >= lit)
+    if op == "<":
+        return lo < lit
+    if op == "<=":
+        return lo <= lit
+    if op == ">":
+        return hi > lit
+    if op == ">=":
+        return hi >= lit
+    return F.lit(True)  # != / not in: stats can't disprove cheaply
+
+
 def prune_blocks(blocks: DataFrame, filters) -> DataFrame:
     """Drop whole *parts* whose stats prove no row can match — the
-    reference's ``filter_out_stats`` (api.py:1125-1183) over our lineage
+    reference's ``filter_out_stats`` (api.py:1125-1183) over our block
     stats.  Pages are per-column row splits, so the prunable unit is the
     part (row group): a triple (c, op, v) is possibly-true for a part if
-    ANY page of column c could contain a matching value.  String-rendered
-    stats compare lexicographically, so pruning applies to string columns;
-    others pass through (correctness is preserved by the re-filter after
-    decode)."""
+    ANY page of column c could contain a matching value.
+
+    Strings compare against min_s/max_s (lexicographic, upper-bound-safe
+    truncation); ints / floats / bools / timestamps / dates against the
+    typed min_num/max_num doubles (reference typed-stat coercion:
+    api.py:1425-1518).  Ineligible blocks (no stats, unparseable literal,
+    unsupported dtype) are kept — correctness is preserved by the exact
+    re-filter after decode."""
     groups = _norm_filters(filters)
     if not groups:
         return blocks
-    str_dt = enc.DT_STRING
 
-    stats = blocks.select("part_key", "column", "dtype_id", "min_s", "max_s")
+    stats = blocks.select("part_key", "column", "dtype_id",
+                          "min_s", "max_s", "min_num", "max_num")
+    lo_s, hi_s = F.col("min_s"), F.col("max_s")
+    lo_n, hi_n = F.col("min_num"), F.col("max_num")
     surviving = None
     for grp in groups:
         cond = F.lit(True)
@@ -556,31 +673,42 @@ def prune_blocks(blocks: DataFrame, filters) -> DataFrame:
             # page is eligible only for ops that don't consult the max
             need_min = op in ("==", "=", "<", "<=", "in")
             need_max = op in ("==", "=", ">", ">=", "in")
-            eligible = is_col & (F.col("dtype_id") == str_dt)
+            items = list(v) if op == "in" else [v]
+            lits = [_prune_literals(item) for item in items]
+
+            elig_s = is_col & (F.col("dtype_id") == enc.DT_STRING)
             if need_min:
-                eligible = eligible & F.col("min_s").isNotNull()
+                elig_s = elig_s & lo_s.isNotNull()
             if need_max:
-                eligible = eligible & F.col("max_s").isNotNull()
-            sv = F.lit(str(v))
-            if op in ("==", "="):
-                row_p = (F.col("min_s") <= sv) & (F.col("max_s") >= sv)
-            elif op == "<":
-                row_p = F.col("min_s") < sv
-            elif op == "<=":
-                row_p = F.col("min_s") <= sv
-            elif op == ">":
-                row_p = F.col("max_s") > sv
-            elif op == ">=":
-                row_p = F.col("max_s") >= sv
-            elif op == "in":
-                row_p = F.lit(False)
-                for item in v:
-                    row_p = row_p | ((F.col("min_s") <= F.lit(str(item)))
-                                     & (F.col("max_s") >= F.lit(str(item))))
-            else:  # != / not in: stats can't disprove cheaply — keep
-                row_p = F.lit(True)
+                elig_s = elig_s & hi_s.isNotNull()
+            poss_s = F.lit(False)
+            s_vals = [lt["s"] for lt in lits]
+            if all(s is not None for s in s_vals):
+                for s in s_vals:
+                    poss_s = poss_s | _range_pred(lo_s, hi_s, F.lit(s),
+                                                  "==" if op == "in" else op)
+            else:
+                elig_s = F.lit(False)
+
+            elig_n = is_col & F.col("dtype_id").isin(list(_NUMERIC_DTS))
+            if need_min:
+                elig_n = elig_n & lo_n.isNotNull()
+            if need_max:
+                elig_n = elig_n & hi_n.isNotNull()
+            poss_n = F.lit(False)
+            n_exprs = [_num_lit_expr(lt) for lt in lits]
+            for ne in n_exprs:
+                poss_n = poss_n | _range_pred(lo_n, hi_n, ne,
+                                              "==" if op == "in" else op)
+            # a null typed literal (value unparseable for this dtype) makes
+            # the comparison null -> coalesce to "possible" (keep)
+            poss_n = F.coalesce(poss_n, F.lit(True))
+
+            eligible = elig_s | elig_n
+            possible = (elig_s & F.coalesce(poss_s, F.lit(True))) \
+                | (elig_n & poss_n)
             has_eligible = F.max(F.when(eligible, 1).otherwise(0)) == 1
-            any_possible = F.max(F.when(eligible & row_p, 1).otherwise(0)) == 1
+            any_possible = F.max(F.when(possible, 1).otherwise(0)) == 1
             cond = cond & F.when(has_eligible, any_possible).otherwise(F.lit(True))
         surviving = cond if surviving is None else (surviving | cond)
     keep = (stats.groupBy("part_key").agg(surviving.alias("_keep"))
@@ -595,7 +723,7 @@ def statistics(spark: SparkSession, path: str) -> DataFrame:
     ``statistics(obj)`` (fastparquet/api.py:1186-1284) over the blockstore."""
     return read_blocks(spark, path).select(
         "part_key", "page_id", "column", "codec", "n_values", "n_nulls",
-        "raw_size", "encoded_size", "min_s", "max_s")
+        "raw_size", "encoded_size", "min_s", "max_s", "min_num", "max_num")
 
 
 def sorted_columns(spark: SparkSession, path: str) -> DataFrame:

@@ -126,6 +126,41 @@ def test_testdata_tables_roundtrip(spark, tmp_path):
         assert res["ok"], (name, res)
 
 
+def test_numeric_stats_pruning_drops_blocks(spark, tmp_path):
+    """Typed min_num/max_num pruning: a range-partitioned int column must
+    decode a STRICT SUBSET of blocks, with exact results (r1 pruned only
+    string columns — numeric predicates decoded 100% of pages)."""
+    pdf = pd.DataFrame({
+        "repo": [f"r{i // 100}" for i in range(1000)],   # 10 range buckets
+        "path": [str(i) for i in range(1000)],
+        "commit": ["0"] * 1000,
+        "val": np.arange(1000, dtype=np.int64),
+        "when": pd.to_datetime("1995-01-01")
+                + pd.to_timedelta(np.arange(1000), unit="D"),
+    })
+    df = spark.createDataFrame(pdf)
+    store = str(tmp_path / "numstats")
+    pl.run_encode(df, store, columns=["val", "when"], target_rows=100,
+                  resume=False)
+    blocks = pl.read_blocks(spark, store)
+    total = blocks.count()
+
+    filters = [("val", "<", 150)]
+    pruned = pl.prune_blocks(blocks, filters)
+    assert pruned.count() < total, "int predicate must prune parts"
+    got = pl.decode_blocks(blocks, columns=["val"], filters=filters)
+    assert got.count() == 150
+    assert got.agg(F.max("val")).collect()[0][0] == 149
+
+    # timestamp predicate in q1 style (string literal against ts stats)
+    tf = [("when", "<=", "1995-03-01")]
+    tpruned = pl.prune_blocks(blocks, tf)
+    assert tpruned.count() < total, "ts predicate must prune parts"
+    tgot = pl.decode_blocks(blocks, columns=["when"], filters=tf)
+    want = int((pdf["when"] <= pd.Timestamp("1995-03-01")).sum())
+    assert tgot.count() == want
+
+
 def test_long_string_stats_do_not_misprune(spark, tmp_path):
     """r2 ADVICE(high): a >64-char value must survive equality pruning.
     Plain prefix truncation of max_s made the stored max smaller than the
