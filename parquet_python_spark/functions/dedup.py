@@ -42,27 +42,54 @@ def shingles(df: DataFrame, col: str = "text", id_col: str = "doc_id",
              n: int = 3, docfreq_cap: int | None = 100) -> DataFrame:
     """Distinct word n-gram shingles: (id, shingle) edge list.
 
-    JVM-side: regexp tokenize → transform(sequence) n-grams → explode.
+    Shingle GENERATION is shuffle-free: one Arrow-batched ``mapInPandas``
+    pass builds all n-grams with numpy shifted views of the flattened token
+    stream — r1 posexploded tokens then ran a ``Window.partitionBy(doc)``,
+    a full shuffle+sort of ~10x the corpus bytes before any hashing, which
+    dominates at scale.  Each document is one input row, so it lives
+    entirely inside one batch and a per-batch ``drop_duplicates`` IS the
+    global DISTINCT (assumes ``id_col`` is unique — it is the doc key).
+    The only shuffles left downstream are the ones the semantics require:
+    the document-frequency cap (global counts per shingle) and the
+    similarity join itself.
+
     ``docfreq_cap`` drops shingles present in more than that many docs
     (stopword-like n-grams that would otherwise quadratically blow up the
     similarity join on a skewed corpus).
     """
-    from pyspark.sql import Window
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import StringType, StructField, StructType
 
-    # ONE regex pass → posexplode → window leads.  (A transform() lambda
-    # with element_at(toks, i+j) re-evaluates the regexp_extract_all for
-    # every element — no common-subexpression elimination across the
-    # lambda boundary; measured 27 s vs ~2 s on 5k docs.)
-    toks = F.regexp_extract_all(F.lower(F.col(col)), F.lit(WORD_RE), 0)
-    exploded = df.select(F.col(id_col), F.posexplode(toks).alias("pos", "tok"))
-    w = Window.partitionBy(id_col).orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, n)]
-    out = (exploded
-           .withColumn("shingle", F.when(parts[-1].isNotNull(),
-                                         F.concat_ws(" ", *parts)))
-           .where(F.col("shingle").isNotNull())
-           .select(id_col, "shingle")
-           .distinct())
+    id_type = df.schema[id_col].dataType
+    schema = StructType([StructField(id_col, id_type),
+                         StructField("shingle", StringType())])
+
+    def run(batches):
+        for pdf in batches:
+            split = pdf[col].fillna("").str.lower().str.findall(WORD_RE)
+            lens = split.str.len().to_numpy()
+            total = int(lens.sum())
+            if total < n:
+                continue
+            # object dtype: elementwise python-str concat (a fixed-width
+            # <U array would reject the ufunc and copy-pad every widen)
+            flat = np.concatenate(split.to_numpy()).astype(object)
+            doc_idx = np.repeat(np.arange(len(pdf)), lens)
+            m = total - n + 1
+            # a start is valid when all n tokens fall in the same document
+            valid = doc_idx[:m] == doc_idx[n - 1:]
+            sh = flat[:m]
+            for j in range(1, n):  # n-1 vectorized object-string concats
+                sh = sh + " "
+                sh = sh + flat[j:m + j]
+            out = pd.DataFrame({
+                id_col: pdf[id_col].to_numpy()[doc_idx[:m][valid]],
+                "shingle": sh[valid],
+            }).drop_duplicates()
+            yield out
+
+    out = df.select(id_col, col).mapInPandas(run, schema)
     if docfreq_cap is not None:
         hot = (out.groupBy("shingle").count()
                .where(F.col("count") > docfreq_cap).select("shingle"))

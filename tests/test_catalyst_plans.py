@@ -63,6 +63,18 @@ def test_cosine_topk_broadcasts_queries(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_shingle_generation_is_shuffle_free(spark):
+    """r2: shingle generation must add ZERO exchanges — r1's posexplode +
+    Window.partitionBy(doc) shuffled ~10x the corpus bytes before hashing."""
+    from parquet_python_spark.functions import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sh = dedup.shingles(docs, docfreq_cap=None)
+    plan = _plan(sh)
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan, plan
+
+
 def test_encode_has_single_data_shuffle(spark):
     df = cg.code_table(spark, 300, partitions=2)
     # with a precomputed plan, the fact table crosses exactly ONE exchange
