@@ -182,6 +182,18 @@ def q_roundtrip_embeddings(spark, sf_dir):
                     F.posexplode("embedding").alias("idx", "val"))
 
 
+def q_roundtrip_props_map(spark, sf_dir):
+    """MAP<string,int> pipeline parity (reference k/v Dremel zip,
+    fastparquet core.py:620-631): events.props recast as a map column,
+    encoded/decoded through the blockstore, exploded to scalar rows for
+    the driver canonicalizer."""
+    src = (_events_source(spark, sf_dir)
+           .withColumn("props_map", F.from_json("props", "map<string,int>")))
+    blocks = pl.encode_table(src, columns=["event_id", "props_map"])
+    d = pl.decode_blocks(blocks)
+    return d.select("event_id", F.explode("props_map").alias("mkey", "mval"))
+
+
 def q_token_count(spark, sf_dir):
     return text.token_counts(_documents(spark, sf_dir))
 
@@ -260,6 +272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_minmax": q_stats_minmax,
         "q1_pricing_decoded": q_q1_pricing_decoded,
         "roundtrip_embeddings": q_roundtrip_embeddings,
+        "roundtrip_props_map": q_roundtrip_props_map,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
@@ -343,6 +356,11 @@ def oracle_sql() -> dict[str, str]:
                          unnest(list_transform(range(1, len(embedding) + 1),
                                 i -> {'i': i, 'v': embedding[i]})) AS u
                   FROM embeddings)""",
+        "roundtrip_props_map": r"""
+            SELECT event_id,
+                   regexp_extract(props, '"([^"]+)"', 1) AS mkey,
+                   regexp_extract(props, ': (-?[0-9]+)', 1)::INT AS mval
+            FROM events""",
         "token_count": r"""
             SELECT doc_id,
                    len(regexp_extract_all(text, '\S+'))::INT AS n_tokens,

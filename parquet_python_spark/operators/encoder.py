@@ -41,10 +41,11 @@ FSST = 5         # strings
 LINEDICT = 6     # strings: newline-split line dictionary (code text)
 HEXPACK = 7      # strings: fixed-length lowercase hex (commit ids)
 LIST = 8         # list<primitive>: offsets + recursively-encoded child block
+MAP = 9          # map<k,v>: offsets + key block + value block
 
 CODEC_NAMES = {PLAIN: "plain", DICT: "dict", RLE_FOR: "rle", DELTA: "delta",
                BITPACK: "bitpack", FSST: "fsst", LINEDICT: "linedict",
-               HEXPACK: "hexpack", LIST: "list"}
+               HEXPACK: "hexpack", LIST: "list", MAP: "map"}
 CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
 
 # logical dtype ids
@@ -79,14 +80,37 @@ _INT_DTS = {DT_INT64, DT_INT32, DT_INT16, DT_INT8, DT_TIMESTAMP_US, DT_DATE32}
 # cencoding.pyx:431-494)
 DT_LIST_BASE = 100
 
+# map<k,v> (one nesting level, primitive values; decode-side parity with
+# fastparquet's MAP k/v zip, core.py:620-631): dtype id packs the key kind
+# and value dtype into the single u8 the block header carries.  Keys are
+# limited to the kinds parquet maps use in practice.
+DT_MAP_BASE = 130
+_MAP_KEY_DTS = (DT_INT64, DT_INT32, DT_STRING)
+
+
+def _map_dtype_id(key_dt: int, val_dt: int) -> int:
+    if key_dt not in _MAP_KEY_DTS:
+        raise TypeError(f"map key dtype {key_dt} unsupported "
+                        f"(need one of {_MAP_KEY_DTS})")
+    if val_dt >= DT_LIST_BASE:
+        raise TypeError("map values must be primitive (one nesting level)")
+    return DT_MAP_BASE + _MAP_KEY_DTS.index(key_dt) * 16 + val_dt
+
 
 def arrow_type_for_dtype_id(dt: int) -> pa.DataType:
+    if dt >= DT_MAP_BASE:
+        key_dt = _MAP_KEY_DTS[(dt - DT_MAP_BASE) // 16]
+        val_dt = (dt - DT_MAP_BASE) % 16
+        return pa.map_(_DT_ARROW[key_dt], _DT_ARROW[val_dt])
     if dt >= DT_LIST_BASE:
         return pa.list_(arrow_type_for_dtype_id(dt - DT_LIST_BASE))
     return _DT_ARROW[dt]
 
 
 def dtype_id_for_arrow(t: pa.DataType) -> int:
+    if pa.types.is_map(t):
+        return _map_dtype_id(dtype_id_for_arrow(t.key_type),
+                             dtype_id_for_arrow(t.item_type))
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         return DT_LIST_BASE + dtype_id_for_arrow(t.value_type)
     if pa.types.is_int64(t):
@@ -138,6 +162,22 @@ def _from_int_view(values: np.ndarray, dt: int) -> pa.Array:
 
 def _encode_values(arr: pa.Array, dt: int, codec: int) -> bytes:
     """Encode a *non-null* arrow array with the given codec."""
+    if codec == MAP or dt >= DT_MAP_BASE:
+        if codec != MAP or dt < DT_MAP_BASE:
+            raise TypeError("MAP codec and map dtype go together")
+        from . import selector  # deferred: selector imports this module
+        n = len(arr)
+        offsets = np.asarray(arr.offsets, dtype=np.int64)
+        lo, hi = (int(offsets[0]), int(offsets[-1])) if n else (0, 0)
+        # .keys/.items are the FULL child buffers — slice to this view
+        keys = arr.keys.slice(lo, hi - lo)
+        items = arr.items.slice(lo, hi - lo)
+        rebased = (offsets - lo).astype("<i4")
+        key_block = encode_block(keys, selector.choose(keys).codec)
+        val_block = encode_block(items, selector.choose(items).codec)
+        return (np.uint32(n).tobytes() + rebased.tobytes()
+                + np.uint32(len(key_block)).tobytes() + key_block
+                + val_block)
     if codec == LIST or dt >= DT_LIST_BASE:
         if codec != LIST or dt < DT_LIST_BASE:
             raise TypeError("LIST codec and list dtype go together")
@@ -198,6 +238,16 @@ def _encode_values(arr: pa.Array, dt: int, codec: int) -> bytes:
 
 
 def _decode_values(raw: bytes, dt: int, codec: int, count: int) -> pa.Array:
+    if codec == MAP:
+        n = int(np.frombuffer(raw[:4], dtype="<u4")[0])
+        off_end = 4 + 4 * (n + 1)
+        offsets = np.frombuffer(raw[4:off_end], dtype="<i4")
+        kb_len = int(np.frombuffer(raw[off_end:off_end + 4], dtype="<u4")[0])
+        kb_start = off_end + 4
+        keys = decode_block(raw[kb_start:kb_start + kb_len])
+        items = decode_block(raw[kb_start + kb_len:])
+        return pa.MapArray.from_arrays(
+            pa.array(offsets, type=pa.int32()), keys, items)
     if codec == LIST:
         n = int(np.frombuffer(raw[:4], dtype="<u4")[0])
         off_end = 4 + 4 * (n + 1)

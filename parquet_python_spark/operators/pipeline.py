@@ -89,6 +89,13 @@ def _sampled_bytes_per_row(tbl: pa.Table, cols: list[str]) -> float:
                 or pa.types.is_binary(t):
             m = pa.compute.mean(pa.compute.binary_length(head[c])).as_py()
             total += float(m or 0.0) + 4.0
+        elif pa.types.is_map(t):
+            # list_value_length has no map kernel — mean entries/row from
+            # the offsets directly
+            a = head[c].combine_chunks()
+            off = np.asarray(a.offsets, dtype=np.int64)
+            m = (off[-1] - off[0]) / max(len(a), 1) if len(off) else 0.0
+            total += float(m) * 16.0 + 4.0
         elif pa.types.is_list(t) or pa.types.is_large_list(t):
             m = pa.compute.mean(pa.compute.list_value_length(head[c])).as_py()
             try:
@@ -275,8 +282,16 @@ def encode_table(df: DataFrame, columns: list[str] | None = None,
     cols = columns or [c for c in df.columns if c not in _HELPER_COLS]
     if "part_key" not in df.columns:
         df = part.with_partition_plan(df, target_rows, plan=plan)
-    # order-independent row integrity hash, computed JVM-side pre-shuffle
-    df = df.withColumn("_row_hash", F.xxhash64(*cols))
+    # order-independent row integrity hash, computed JVM-side pre-shuffle.
+    # Spark (correctly) refuses to hash MAP columns — entry order is
+    # unspecified — so maps are hashed via their sorted entry list.
+    from pyspark.sql.types import MapType
+
+    hash_cols = [
+        F.array_sort(F.map_entries(c))
+        if isinstance(df.schema[c].dataType, MapType) else F.col(c)
+        for c in cols]
+    df = df.withColumn("_row_hash", F.xxhash64(*hash_cols))
     fn = make_encode_group(cols, page_bytes, compression)
     return df.groupBy("part_key").applyInArrow(fn, BLOCKS_SCHEMA)
 

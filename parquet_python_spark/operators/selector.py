@@ -58,6 +58,9 @@ def choose(arr: pa.Array, allow_fsst: bool = True) -> Choice:
         arr = arr.combine_chunks()
     dt = enc.dtype_id_for_arrow(arr.type)
     n = len(arr)
+    if dt >= enc.DT_MAP_BASE:
+        # key/value codecs are chosen recursively inside the MAP encoder
+        return Choice(enc.MAP, dt, n, {"map": True})
     if dt >= enc.DT_LIST_BASE:
         # child codec is chosen recursively inside the LIST encoder
         return Choice(enc.LIST, dt, n, {"list": True})

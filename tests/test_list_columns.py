@@ -65,3 +65,58 @@ def test_overwrite_partitions(spark, tmp_path):
     edited = decoded.where(F.col("content").endswith("EDIT")).count()
     assert edited == sub.count()
     assert decoded.count() == df.count()
+
+
+# ---------------------------------------------------------------- MAP<k,v>
+
+@pytest.mark.parametrize("arr", [
+    pa.array([{"a": 1, "b": 2}, None, {"c": 3}, {}, {"x": None}],
+             type=pa.map_(pa.string(), pa.int32())),
+    pa.array([None, None], type=pa.map_(pa.string(), pa.int64())),
+    pa.array([[(1, 2.5), (3, 4.5)], [], [(7, None)]],
+             type=pa.map_(pa.int64(), pa.float64())),
+    pa.array([[("k", "v")], [("k2", "v2"), ("k3", "v3")]],
+             type=pa.map_(pa.string(), pa.string())),
+], ids=["str-int-nulls", "all-null", "int-key-float", "str-str"])
+def test_map_block_roundtrip(arr):
+    """MAP decode parity with the reference's k/v Dremel zip
+    (fastparquet core.py:620-631), one nesting level."""
+    c = selector.choose(arr)
+    assert c.codec_name == "map"
+    blk = enc.encode_block(arr, c.codec)
+    assert enc.decode_block(blk).cast(arr.type).equals(arr)
+
+
+def test_map_sliced_page_roundtrip():
+    big = pa.array([{"k": i, "j": i * 2} for i in range(100)],
+                   type=pa.map_(pa.string(), pa.int32()))
+    s = big.slice(37, 25)
+    dec = enc.decode_block(enc.encode_block(s, enc.MAP))
+    assert dec.equals(pa.array(s.to_pylist(), type=s.type))
+
+
+def test_map_dtype_id_is_invertible():
+    for key in (pa.string(), pa.int64(), pa.int32()):
+        for val in (pa.int32(), pa.float64(), pa.string()):
+            t = pa.map_(key, val)
+            dt = enc.dtype_id_for_arrow(t)
+            assert dt <= 255, "map dtype id must fit the u8 block header"
+            rt = enc.arrow_type_for_dtype_id(dt)
+            assert rt.key_type == key and rt.item_type == val
+
+
+@pytest.mark.spark
+def test_map_pipeline_roundtrip(spark, tmp_path):
+    src = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+           .withColumn("props_map",
+                       F.from_json("props", "map<string,int>"))
+           .withColumn("repo", (F.col("user_id") % 7).cast("string"))
+           .withColumn("path", F.col("event_id").cast("string"))
+           .withColumn("commit", F.lit("0")))
+    store = str(tmp_path / "mapstore")
+    pl.run_encode(src, store, columns=["event_id", "props_map"],
+                  target_rows=400, resume=False)
+    dec = pl.decode_blocks(pl.read_blocks(spark, store))
+    a = (dec.select("event_id", F.explode("props_map").alias("k", "v")))
+    b = (src.select("event_id", F.explode("props_map").alias("k", "v")))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
