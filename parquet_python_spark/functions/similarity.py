@@ -48,29 +48,117 @@ def cosine_topk(df: DataFrame, queries: DataFrame, k: int = 5,
             .select("q_id", "n_id", "cos_sim", "rank"))
 
 
-def ivf_bucket(vec, bits: int = 8):
-    """Coarse quantizer: sign bits of the first ``bits`` dims -> bucket id.
-    Pure integer result — exactly reproducible by any engine."""
+def ivf_bucket(vec, bits: int = 8, stride: int = 1):
+    """Coarse quantizer: sign bits of ``bits`` dims (every ``stride``-th,
+    so the code spreads over the whole vector instead of loading all its
+    discrimination onto the first dims — correlated leading dims make
+    first-k sign buckets skew-prone) -> bucket id.  Pure integer result —
+    exactly reproducible by any engine."""
     v = vec.cast("array<double>")
     out = F.lit(0)
-    for i in range(1, bits + 1):
-        out = out + F.when(F.element_at(v, i) > 0,
-                           F.lit(1 << (i - 1))).otherwise(F.lit(0))
+    for i in range(bits):
+        out = out + F.when(F.element_at(v, 1 + i * stride) > 0,
+                           F.lit(1 << i)).otherwise(F.lit(0))
     return out
+
+
+def _probe_masks(bits: int, radius: int) -> list[int]:
+    """XOR masks for all buckets within Hamming ``radius`` of a code."""
+    from itertools import combinations
+
+    masks = [0]
+    for r in range(1, radius + 1):
+        for combo in combinations(range(bits), r):
+            m = 0
+            for b in combo:
+                m |= 1 << b
+            masks.append(m)
+    return masks
+
+
+def cosine_topk_lsh(df: DataFrame, queries: DataFrame, k: int = 5,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    q_id_col: str = "q_id", bits: int = 8,
+                    n_tables: int = 8, radius: int = 2, dim: int = 64,
+                    digits: int = 3) -> DataFrame:
+    """Multi-table sign-LSH top-k: the recall lever single-table IVF lacks.
+
+    Table ``t`` takes the sign bits of dims ``1 + (i*n_tables + t) % dim``
+    — disjoint, interleaved dim subsets, so tables are independent codes.
+    A query probes every bucket within Hamming ``radius`` in EVERY table;
+    candidate (q, n) pairs are deduped on ids BEFORE vectors are fetched,
+    so the expensive join ships each candidate vector once, not once per
+    table hit (at 100 TB the candidate-id join is cheap; the vector fetch
+    is the cost to minimize).
+
+    Recall model (per-bit sign agreement p of true neighbours):
+    per-table hit = P(Hamming(code_q, code_n) <= radius) under Binomial
+    (bits, 1-p); overall = 1 - (1 - hit)^n_tables.  On the synthetic
+    embeddings (isotropic: top-5 cos ~ 0.32 -> p ~ 0.6 — the WORST case
+    for any LSH) the defaults give measured recall ~0.95; on real clustered
+    embeddings (p ~ 0.85+) the same recall needs far fewer probes, or the
+    same probes scan a much smaller candidate fraction."""
+    def table_bucket(vec, t: int):
+        v = vec.cast("array<double>")
+        out = F.lit(0)
+        for i in range(bits):
+            idx = 1 + (i * n_tables + t) % dim
+            out = out + F.when(F.element_at(v, idx) > 0,
+                               F.lit(1 << i)).otherwise(F.lit(0))
+        return out
+
+    tb = F.posexplode(F.array(*[table_bucket(F.col(vec_col), t)
+                                for t in range(n_tables)]))
+    data_b = df.select(F.col(id_col).alias("n_id"),
+                       tb.alias("t", "bucket"))
+    masks = _probe_masks(bits, radius)
+    q_b = queries.select(F.col(q_id_col).alias("q_id"),
+                         tb.alias("t", "bucket"))
+    q_probes = q_b.select(
+        "q_id", "t",
+        F.explode(F.array(*[F.col("bucket").bitwiseXOR(F.lit(m))
+                            for m in masks])).alias("bucket"))
+    cand = (data_b.join(F.broadcast(q_probes), ["t", "bucket"])
+            .where(F.col("q_id") != F.col("n_id"))
+            .select("q_id", "n_id").distinct())
+    # fetch vectors once per surviving candidate pair
+    pairs = (cand
+             .join(df.select(F.col(id_col).alias("n_id"),
+                             F.col(vec_col).alias("vb")), "n_id")
+             .join(F.broadcast(queries.select(F.col(q_id_col).alias("q_id"),
+                                              F.col(vec_col).alias("va"))),
+                   "q_id"))
+    scored = with_cosine(pairs, "va", "vb", digits=digits)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("q_id", "n_id", "cos_sim", "rank"))
 
 
 def cosine_topk_ivf(df: DataFrame, queries: DataFrame, k: int = 5,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    q_id_col: str = "q_id", bits: int = 8,
-                    digits: int = 3) -> DataFrame:
-    """IVF-style approximate top-k: only score vectors in the query's
-    coarse bucket (equi-join on bucket id instead of a cross join — the
-    100 TB path: bucket is also the natural partitioning key)."""
+                    q_id_col: str = "q_id", bits: int = 8, stride: int = 1,
+                    multiprobe: bool = True, digits: int = 3) -> DataFrame:
+    """IVF-style approximate top-k: only score vectors in the probed
+    coarse buckets (equi-join on bucket id instead of a cross join — the
+    100 TB path: bucket is also the natural partitioning key).
+
+    ``multiprobe=True`` probes the query's own bucket plus every Hamming-1
+    neighbour (1 + bits probes): sign quantization is least reliable for
+    dims near zero, and single-probe falls off a recall cliff at bucket
+    edges.  Each data vector lives in exactly one bucket and probe buckets
+    are distinct, so no pair dedup is needed.  Scored candidates per query
+    ~ (1 + bits) / 2**bits of the data — still sublinear."""
     data = df.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("vb"),
-                     ivf_bucket(F.col(vec_col), bits).alias("bucket"))
-    qs = F.broadcast(queries.select(
+                     ivf_bucket(F.col(vec_col), bits, stride).alias("bucket"))
+    q0 = queries.select(
         F.col(q_id_col).alias("q_id"), F.col(vec_col).alias("va"),
-        ivf_bucket(F.col(vec_col), bits).alias("bucket")))
+        ivf_bucket(F.col(vec_col), bits, stride).alias("bucket"))
+    if multiprobe:
+        probes = F.array(F.col("bucket"), *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(bits)])
+        q0 = q0.select("q_id", "va", F.explode(probes).alias("bucket"))
+    qs = F.broadcast(q0)
     pairs = data.join(qs, "bucket").where(F.col("q_id") != F.col("n_id"))
     scored = with_cosine(pairs, "va", "vb", digits=digits)
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
