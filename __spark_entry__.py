@@ -94,6 +94,16 @@ def q_roundtrip_sha(spark, sf_dir):
     return decoded.select("doc_id", F.sha2(F.col("text"), 256).alias("sha"))
 
 
+def q_roundtrip_sha_gzip(spark, sf_dir):
+    """Block-compressed path: same fidelity query as roundtrip_sha with
+    GZIP on every block (registry parity: fastparquet compression.py:8-74;
+    SNAPPY/ZSTD/LZ4 gate on optional libs absent from this container)."""
+    blocks = pl.encode_table(_doc_source(spark, sf_dir), columns=DOC_COLS,
+                             compression="GZIP")
+    decoded = pl.decode_blocks(blocks, columns=["doc_id", "text"])
+    return decoded.select("doc_id", F.sha2(F.col("text"), 256).alias("sha"))
+
+
 def q_roundtrip_events(spark, sf_dir):
     blocks = pl.encode_table(_events_source(spark, sf_dir), columns=EVENT_COLS)
     d = pl.decode_blocks(blocks)
@@ -180,6 +190,33 @@ def q_roundtrip_embeddings(spark, sf_dir):
     d = pl.decode_blocks(blocks)
     return d.select("vec_id", "label",
                     F.posexplode("embedding").alias("idx", "val"))
+
+
+def q_merge_count(spark, sf_dir):
+    """Store maintenance parity (reference merge, fastparquet
+    writer.py:1464-1494): encode two halves of documents into separate
+    stores, merge them, and count rows without decoding.  Results are
+    materialized eagerly so the temp stores can be deleted before return."""
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="pqs_merge_")
+    try:
+        half_a = _doc_source(spark, sf_dir).where(F.col("doc_id") % 2 == 0)
+        half_b = _doc_source(spark, sf_dir).where(F.col("doc_id") % 2 == 1)
+        pl.run_encode(half_a, f"{base}/a", columns=DOC_COLS,
+                      target_rows=2000, resume=False)
+        pl.run_encode(half_b, f"{base}/b", columns=DOC_COLS,
+                      target_rows=2000, resume=False)
+        pl.merge_stores(spark, [f"{base}/a", f"{base}/b"], f"{base}/out")
+        dec = pl.decode_blocks(pl.read_blocks(spark, f"{base}/out"))
+        row = dec.agg(F.count(F.lit(1)).alias("n_rows"),
+                      F.countDistinct("doc_id").alias("n_docs")).collect()[0]
+        return spark.createDataFrame(
+            [(int(row["n_rows"]), int(row["n_docs"]))],
+            "n_rows long, n_docs long")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def q_roundtrip_props_map(spark, sf_dir):
@@ -274,6 +311,7 @@ def q_media_features(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "roundtrip_sha": q_roundtrip_sha,
+        "roundtrip_sha_gzip": q_roundtrip_sha_gzip,
         "roundtrip_events": q_roundtrip_events,
         "decode_projection": q_decode_projection,
         "decode_filtered": q_decode_filtered,
@@ -284,6 +322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_decoded": q_q1_pricing_decoded,
         "roundtrip_embeddings": q_roundtrip_embeddings,
         "roundtrip_props_map": q_roundtrip_props_map,
+        "merge_count": q_merge_count,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
@@ -332,6 +371,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "roundtrip_sha":
             "SELECT doc_id, sha256(text) AS sha FROM documents",
+        "roundtrip_sha_gzip":
+            "SELECT doc_id, sha256(text) AS sha FROM documents",
         "roundtrip_events":
             "SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s, "
             "user_id, event_type, value, props FROM events",
@@ -368,6 +409,9 @@ def oracle_sql() -> dict[str, str]:
                          unnest(list_transform(range(1, len(embedding) + 1),
                                 i -> {'i': i, 'v': embedding[i]})) AS u
                   FROM embeddings)""",
+        "merge_count":
+            "SELECT count(*)::BIGINT AS n_rows, "
+            "count(DISTINCT doc_id)::BIGINT AS n_docs FROM documents",
         "roundtrip_props_map": r"""
             SELECT event_id,
                    regexp_extract(props, '"([^"]+)"', 1) AS mkey,

@@ -213,8 +213,11 @@ def make_encode_group(cols: list[str], page_bytes: int = DEFAULT_PAGE_BYTES,
         out: list[dict] = []
         if n == 0:
             return _ARROW_BLOCKS_SCHEMA.empty_table()
-        repos = pa.compute.unique(tbl["repo"])
-        repo = repos[0].as_py() if len(repos) == 1 else None
+        if "repo" in tbl.column_names:
+            repos = pa.compute.unique(tbl["repo"])
+            repo = repos[0].as_py() if len(repos) == 1 else None
+        else:  # re-encode of decoded rows (merge/remove maintenance)
+            repo = None
         split_id = int(tbl["split_id"][0].as_py()) if "split_id" in tbl.column_names else 0
         rh_all = (np.asarray(tbl["_row_hash"].combine_chunks(), dtype=np.int64)
                   if "_row_hash" in tbl.column_names else None)
@@ -493,12 +496,8 @@ def overwrite_partitions(df: DataFrame, path: str,
     Tail repos are bin-packed into shared buckets, so replacing one repo
     means re-encoding its *bucket*: rows of other repos in affected buckets
     are decoded from the store, unioned with the replacement rows, and
-    re-encoded under the SAME persisted plan (part_keys never move).  The
-    store rewrite is a local directory swap; production would be an Iceberg
-    overwrite commit.
+    re-encoded under the SAME persisted plan (part_keys never move).
     """
-    import shutil
-
     spark = df.sparkSession
     plan = _plan_for_store(df, path, target_rows)
     repos = df.select("repo").distinct()
@@ -514,8 +513,17 @@ def overwrite_partitions(df: DataFrame, path: str,
     new_blocks = encode_table(part.assign_part_keys(union, plan), cols,
                               target_rows, page_bytes, compression)
     keep_blocks = blocks.join(aff_keys, "part_key", "left_anti")
-    merged = keep_blocks.unionByName(new_blocks)
-    tmp = f"{path}/_overwrite_tmp"
+    return _commit_blocks_rewrite(spark, path, keep_blocks.unionByName(new_blocks))
+
+
+def _commit_blocks_rewrite(spark: SparkSession, path: str,
+                           merged: DataFrame) -> dict:
+    """Full-store rewrite commit: write to a temp dir, swap, rebuild
+    lineage.  Local-directory rename here; production would be an Iceberg
+    overwrite commit (atomic snapshot swap on object storage)."""
+    import shutil
+
+    tmp = f"{path}/_rewrite_tmp"
     merged.write.mode("overwrite").option("compression", "none").parquet(f"{tmp}/blocks")
     shutil.rmtree(f"{path}/blocks", ignore_errors=True)
     shutil.move(f"{tmp}/blocks", f"{path}/blocks")
@@ -523,6 +531,105 @@ def overwrite_partitions(df: DataFrame, path: str,
     written = spark.read.parquet(f"{path}/blocks")
     lineage_from_blocks(written).write.mode("overwrite").parquet(f"{path}/lineage")
     agg = read_lineage(spark, path).agg(
+        F.count(F.lit(1)).alias("parts"), F.sum("n_rows").alias("rows")).collect()[0]
+    return {"parts": agg["parts"], "rows": int(agg["rows"] or 0)}
+
+
+def remove_parts(spark: SparkSession, path: str,
+                 part_keys: list[int]) -> dict:
+    """Drop whole parts from a store — ``ParquetFile.remove_row_groups``
+    parity (fastparquet api.py:415-574): the named row groups disappear,
+    everything else is untouched."""
+    keys = spark.createDataFrame([(int(k),) for k in part_keys],
+                                 "part_key long")
+    kept = read_blocks(spark, path).join(F.broadcast(keys),
+                                         "part_key", "left_anti")
+    return _commit_blocks_rewrite(spark, path, kept)
+
+
+def remove_repos(spark: SparkSession, path: str, repos: list[str],
+                 target_rows: int = part.DEFAULT_TARGET_ROWS,
+                 page_bytes: int = DEFAULT_PAGE_BYTES,
+                 compression: str = "UNCOMPRESSED") -> dict:
+    """Drop every row of the given repos.  Mono-repo parts are dropped
+    without decoding; packed buckets shared with other repos are decoded,
+    filtered and re-encoded under their original part_key (requires the
+    ``repo`` column to have been encoded in those buckets)."""
+    plan = load_plan(spark, path)
+    if plan is None:
+        raise ValueError(f"store {path} has no persisted plan")
+    repos_df = spark.createDataFrame([(r,) for r in repos], "repo string")
+    aff_keys = (part.plan_part_keys(plan)
+                .join(F.broadcast(repos_df), "repo", "left_semi")
+                .select("part_key").distinct())
+    blocks = read_blocks(spark, path)
+    aff = blocks.join(F.broadcast(aff_keys), "part_key", "left_semi")
+    # parts wholly owned by a removed repo can drop without decode
+    mono = (aff.select("part_key", "repo").distinct()
+            .join(F.broadcast(repos_df), "repo", "left_semi")
+            .select("part_key"))
+    shared = aff.join(F.broadcast(mono), "part_key", "left_anti")
+    new_blocks = None
+    if not shared.isEmpty():
+        decoded = decode_blocks(shared, keep_part_key=True)
+        if "repo" not in decoded.columns:
+            raise ValueError(
+                "cannot remove repos from shared buckets: the 'repo' "
+                "column was not encoded — re-encode the store from source")
+        retained = decoded.join(F.broadcast(repos_df), "repo", "left_anti")
+        cols = [c for c in retained.columns if c not in _HELPER_COLS]
+        new_blocks = encode_table(retained, cols, target_rows, page_bytes,
+                                  compression)
+    kept = blocks.join(F.broadcast(aff_keys), "part_key", "left_anti")
+    merged = kept if new_blocks is None else kept.unionByName(new_blocks)
+    return _commit_blocks_rewrite(spark, path, merged)
+
+
+def merge_stores(spark: SparkSession, paths: list[str], out_path: str) -> dict:
+    """Consolidate several blockstores into one — the reference's
+    ``merge`` (fastparquet writer.py:1464-1494: file paths become row
+    groups of one logical dataset).  Non-colliding parts are copied as
+    raw blocks (no decode); a part_key present in more than one store is
+    decoded PER STORE (page ids overlap across stores, so their blocks
+    must never be concatenated directly), the rows unioned, and re-encoded
+    under the same key.  Row multisets are preserved — deduplication is a
+    separate operator, as in the reference."""
+    stores = [read_blocks(spark, p) for p in paths]
+    all_keys = None
+    for s in stores:
+        k = s.select("part_key").distinct()
+        all_keys = k if all_keys is None else all_keys.unionByName(k)
+    collide = (all_keys.groupBy("part_key").count()
+               .where(F.col("count") > 1).select("part_key"))
+    clean = None
+    for s in stores:
+        part_df = s.join(F.broadcast(collide), "part_key", "left_anti")
+        clean = part_df if clean is None else clean.unionByName(part_df)
+    merged = clean
+    rows = None
+    for s in stores:
+        coll = s.join(F.broadcast(collide), "part_key", "left_semi")
+        if coll.isEmpty():
+            continue
+        r = decode_blocks(coll, keep_part_key=True)
+        rows = r if rows is None else rows.unionByName(r)
+    if rows is not None:
+        cols = [c for c in rows.columns if c not in _HELPER_COLS]
+        merged = merged.unionByName(encode_table(rows, cols))
+    merged.write.mode("overwrite").option("compression", "none").parquet(
+        f"{out_path}/blocks")
+    written = spark.read.parquet(f"{out_path}/blocks")
+    lineage_from_blocks(written).write.mode("overwrite").parquet(
+        f"{out_path}/lineage")
+    # merged plan: first store wins per repo (future appends stay stable)
+    plans = [p for p in (load_plan(spark, s) for s in paths) if p is not None]
+    if plans:
+        all_plans = plans[0]
+        for p in plans[1:]:
+            all_plans = all_plans.unionByName(p)
+        all_plans.dropDuplicates(["repo"]).write.mode("overwrite").parquet(
+            f"{out_path}/plan")
+    agg = read_lineage(spark, out_path).agg(
         F.count(F.lit(1)).alias("parts"), F.sum("n_rows").alias("rows")).collect()[0]
     return {"parts": agg["parts"], "rows": int(agg["rows"] or 0)}
 
@@ -543,11 +650,13 @@ def infer_schema_from_blocks(blocks: DataFrame) -> StructType:
 
 
 def decode_blocks(blocks: DataFrame, columns: list[str] | None = None,
-                  filters=None) -> DataFrame:
+                  filters=None, keep_part_key: bool = False) -> DataFrame:
     """Blocks -> original rows. Projection prunes blocks before the shuffle;
     ``filters`` additionally prunes whole blocks on min/max stats, then
     re-applies the exact predicate on decoded rows (the reference's two-level
-    scheme: filter_row_groups then row_filter, api.py:691-794)."""
+    scheme: filter_row_groups then row_filter, api.py:691-794).
+    ``keep_part_key=True`` prepends the originating part_key to every row
+    (store-maintenance ops re-encode rows under their original parts)."""
     if filters is not None:
         need = {c for grp in _norm_filters(filters) for (c, _, _) in grp}
         if columns is not None:
@@ -560,8 +669,11 @@ def decode_blocks(blocks: DataFrame, columns: list[str] | None = None,
     schema = infer_schema_from_blocks(blocks)
     if filters is not None:
         blocks = prune_blocks(blocks, filters)
+    if keep_part_key:
+        schema = StructType(
+            [StructField("part_key", LongType(), False)] + list(schema.fields))
 
-    want_cols = [f.name for f in schema.fields]
+    want_cols = [f.name for f in schema.fields if f.name != "part_key"]
     from pyspark.sql.pandas.types import to_arrow_schema
     expected = to_arrow_schema(schema)
 
@@ -580,8 +692,14 @@ def decode_blocks(blocks: DataFrame, columns: list[str] | None = None,
             arrs = [enc.decode_block(blocks_col[i].as_py())
                     for _, i in sorted(lst)]
             data[c] = pa.concat_arrays(arrs) if len(arrs) > 1 else arrs[0]
+        cols = {c: data[c] for c in want_cols}
+        if keep_part_key:
+            pk = int(key[0].as_py() if hasattr(key[0], "as_py") else key[0])
+            n = len(next(iter(cols.values()))) if cols else 0
+            cols = {"part_key": pa.array(np.full(n, pk, dtype=np.int64)),
+                    **cols}
         # cast to Spark's exact arrow schema (tz metadata on timestamps)
-        return pa.table({c: data[c] for c in want_cols}).cast(expected)
+        return pa.table(cols).cast(expected)
 
     out = blocks.groupBy("part_key").applyInArrow(decode_group, schema)
     if filters is not None:

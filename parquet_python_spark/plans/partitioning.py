@@ -75,6 +75,23 @@ def assign_part_keys(df: DataFrame, plan: DataFrame) -> DataFrame:
     ).drop("n_splits", "bucket")
 
 
+def plan_part_keys(plan: DataFrame) -> DataFrame:
+    """Every (repo, part_key) pair a plan can produce — salted repos expand
+    to all their splits, packed repos map to their bucket key.  Mirrors
+    ``assign_part_keys`` exactly; used by store maintenance (remove/merge)
+    to locate a repo's parts without scanning data."""
+    salted = (plan.where(F.col("n_splits") > 1)
+              .select("repo", F.explode(F.sequence(
+                  F.lit(0), F.col("n_splits") - 1)).alias("split_id"))
+              .select("repo",
+                      F.xxhash64("repo", F.col("split_id").cast("int"))
+                      .alias("part_key")))
+    packed = (plan.where(F.col("n_splits") == 1)
+              .select("repo", F.xxhash64(F.lit("__pack__"), "bucket")
+                      .alias("part_key")))
+    return salted.unionByName(packed)
+
+
 def with_partition_plan(df: DataFrame, target_rows: int = DEFAULT_TARGET_ROWS,
                         plan: DataFrame | None = None) -> DataFrame:
     """Convenience: plan + assign in one call."""

@@ -1,0 +1,80 @@
+"""Store maintenance: merge_stores / remove_parts / remove_repos — parity
+with the reference's merge (fastparquet writer.py:1464-1494) and
+ParquetFile.remove_row_groups (api.py:415-574) on the blockstore."""
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_python_spark.operators import pipeline as pl
+from parquet_python_spark.sources import codegen as cg
+
+pytestmark = pytest.mark.spark
+
+
+def _docs(spark, lo, hi, repo_mod=5):
+    return (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            .withColumn("repo", (F.col("doc_id") % repo_mod).cast("string"))
+            .withColumn("path", F.col("doc_id").cast("string"))
+            .withColumn("commit", F.lit("0")))
+
+
+COLS = ["doc_id", "text", "lang"]
+
+
+def test_merge_disjoint_stores(spark, tmp_path):
+    """Two stores of different repos merge without decoding anything."""
+    a, b, out = (str(tmp_path / x) for x in ("a", "b", "out"))
+    da = _docs(spark, 0, 200).withColumn("repo", F.lit("ra"))
+    db = _docs(spark, 200, 500).withColumn("repo", F.lit("rb"))
+    pl.run_encode(da, a, columns=COLS, target_rows=100, resume=False)
+    pl.run_encode(db, b, columns=COLS, target_rows=100, resume=False)
+    res = pl.merge_stores(spark, [a, b], out)
+    assert res["rows"] == 500
+    dec = pl.decode_blocks(pl.read_blocks(spark, out))
+    src = da.select(*COLS).unionByName(db.select(*COLS))
+    assert pl.verify_roundtrip(src, dec)["ok"]
+
+
+def test_merge_colliding_parts(spark, tmp_path):
+    """Same repos in both stores -> identical part_keys collide; rows must
+    be unioned per part, never block-concatenated (overlapping page ids)."""
+    a, b, out = (str(tmp_path / x) for x in ("a", "b", "out"))
+    da = _docs(spark, 0, 300)
+    db = _docs(spark, 300, 500)
+    pl.run_encode(da, a, columns=COLS, target_rows=100, resume=False)
+    pl.run_encode(db, b, columns=COLS, target_rows=100, resume=False)
+    res = pl.merge_stores(spark, [a, b], out)
+    assert res["rows"] == 500
+    dec = pl.decode_blocks(pl.read_blocks(spark, out))
+    src = da.select(*COLS).unionByName(db.select(*COLS))
+    assert pl.verify_roundtrip(src, dec)["ok"]
+    # lineage part_keys unique after merge
+    lin = pl.read_lineage(spark, out)
+    assert lin.groupBy("part_key").count().where(F.col("count") > 1).count() == 0
+
+
+def test_remove_parts(spark, tmp_path):
+    store = str(tmp_path / "rp")
+    df = cg.code_table(spark, 600, partitions=2)
+    pl.run_encode(df, store, target_rows=200, resume=False)
+    lin = pl.read_lineage(spark, store).orderBy("part_key").collect()
+    drop = lin[0]
+    res = pl.remove_parts(spark, store, [drop["part_key"]])
+    assert res["rows"] == 600 - drop["n_rows"]
+    left = pl.read_lineage(spark, store).select("part_key").collect()
+    assert drop["part_key"] not in {r["part_key"] for r in left}
+
+
+def test_remove_repos_shared_bucket(spark, tmp_path):
+    """Removing a repo that shares a packed bucket decodes + re-encodes
+    only that bucket; other repos' rows survive byte-identically."""
+    store = str(tmp_path / "rr")
+    df = _docs(spark, 0, 500)  # repos '0'..'4' bin-packed together
+    cols = ["repo"] + COLS  # repo encoded so shared buckets are filterable
+    pl.run_encode(df, store, columns=cols, target_rows=200, resume=False)
+    res = pl.remove_repos(spark, store, ["2"])
+    want = df.where(F.col("repo") != "2")
+    assert res["rows"] == want.count()
+    dec = pl.decode_blocks(pl.read_blocks(spark, store))
+    assert pl.verify_roundtrip(want.select(*cols), dec)["ok"]
+    assert dec.where(F.col("repo") == "2").count() == 0
