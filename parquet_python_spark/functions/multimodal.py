@@ -67,25 +67,48 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
 
 
 def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
-    """Per-media features via Arrow-batched mapInPandas — the plumbing is
-    real (batch shape, schema, partition locality); the pixel math runs on
-    the deterministic fake decode."""
+    """Per-media features via Arrow-batched mapInPandas.
+
+    The whole batch is processed as ONE numpy pass: payloads concatenate
+    into a flat byte buffer and per-media sums / xor-hashes come from
+    ``reduceat`` over the offsets — no per-row Python (r1 looped
+    decode_image per payload; when a real decoder lands, it must slot into
+    this batch shape, decoding per Arrow batch, not per row).
+    ``fake=False`` still routes through the stub to keep the container
+    limitation explicit."""
     def run(batches):
         for pdf in batches:
+            if not fake:
+                decode_image(b"", fake=False)  # raises NotImplementedError
             n = len(pdf)
-            out = {"media_id": pdf["media_id"].to_numpy(),
-                   "n_bytes": np.zeros(n, dtype=np.int64),
-                   "byte_mean": np.zeros(n, dtype=np.int32),
-                   "feat_hash": np.zeros(n, dtype=np.int64)}
-            for i, payload in enumerate(pdf["payload"]):
-                img = decode_image(payload, fake=fake)
-                out["n_bytes"][i] = len(payload)
-                out["byte_mean"][i] = int(img.mean())
-                out["feat_hash"][i] = int(
-                    np.bitwise_xor.reduce(img.astype(np.uint64).ravel()
-                                          * np.uint64(0x9E3779B97F4A7C15))
-                    .astype(np.int64))
-            yield pd.DataFrame(out)
+            payloads = pdf["payload"].to_numpy()
+            lens = np.fromiter((len(p) for p in payloads), dtype=np.int64,
+                               count=n)
+            flat = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            starts = np.zeros(n, dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            nonzero = lens > 0
+            sums = np.zeros(n, dtype=np.int64)
+            if flat.size:
+                # reduceat needs strictly valid segment starts; empty
+                # payloads are patched to 0 afterwards
+                idx = np.minimum(starts, flat.size - 1)
+                sums_all = np.add.reduceat(flat.astype(np.int64), idx)
+                xor_all = np.bitwise_xor.reduceat(
+                    flat.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15),
+                    idx)
+                sums = np.where(nonzero, sums_all, 0)
+                feat = np.where(nonzero, xor_all, np.uint64(0))
+            else:
+                feat = np.zeros(n, dtype=np.uint64)
+            byte_mean = np.where(nonzero, sums // np.maximum(lens, 1),
+                                 0).astype(np.int32)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].to_numpy(),
+                "n_bytes": lens,
+                "byte_mean": byte_mean,
+                "feat_hash": feat.view(np.int64),
+            })
 
     return df.select("media_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
 

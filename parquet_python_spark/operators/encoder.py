@@ -60,6 +60,11 @@ DT_TIMESTAMP_US = 7
 DT_DATE32 = 8
 DT_INT16 = 9
 DT_INT8 = 10
+# unsigned converted types (reference: fastparquet converted_types.py:149-248)
+DT_UINT64 = 11
+DT_UINT32 = 12
+DT_UINT16 = 13
+DT_UINT8 = 14
 
 _DT_NUMPY = {
     DT_INT64: "int64", DT_INT32: "int32", DT_INT16: "int16", DT_INT8: "int8",
@@ -71,8 +76,30 @@ _DT_ARROW = {
     DT_INT8: pa.int8(), DT_FLOAT64: pa.float64(), DT_FLOAT32: pa.float32(),
     DT_BOOL: pa.bool_(), DT_STRING: pa.string(), DT_BINARY: pa.binary(),
     DT_TIMESTAMP_US: pa.timestamp("us"), DT_DATE32: pa.date32(),
+    DT_UINT64: pa.uint64(), DT_UINT32: pa.uint32(),
+    DT_UINT16: pa.uint16(), DT_UINT8: pa.uint8(),
 }
-_INT_DTS = {DT_INT64, DT_INT32, DT_INT16, DT_INT8, DT_TIMESTAMP_US, DT_DATE32}
+_INT_DTS = {DT_INT64, DT_INT32, DT_INT16, DT_INT8, DT_TIMESTAMP_US, DT_DATE32,
+            DT_UINT64, DT_UINT32, DT_UINT16, DT_UINT8}
+
+# Spark has NO unsigned types: at the Spark decode boundary uint widths
+# promote to the next wider signed type (reference nullable/unsigned
+# promotion: fastparquet api.py:974-996).  uint64 has no lossless signed
+# home — kernel-level decode stays exact uint64; Spark decode raises.
+_SPARK_SAFE_ARROW = {DT_UINT8: pa.int16(), DT_UINT16: pa.int32(),
+                     DT_UINT32: pa.int64()}
+
+
+def spark_safe_arrow_type(dt: int) -> pa.DataType:
+    """Arrow type Spark can represent for this dtype id (uints widen)."""
+    if dt in _SPARK_SAFE_ARROW:
+        return _SPARK_SAFE_ARROW[dt]
+    if dt == DT_UINT64:
+        raise TypeError(
+            "uint64 columns cannot decode through Spark (no unsigned "
+            "types); use the kernel-level decode_block API, or cast the "
+            "source to int64/decimal before encoding")
+    return arrow_type_for_dtype_id(dt)
 
 # list<child>: dtype id = DT_LIST_BASE + child dtype id (one nesting level —
 # the reference's own writer can't write nested data at all, writer.py:598;
@@ -125,6 +152,14 @@ def dtype_id_for_arrow(t: pa.DataType) -> int:
         return DT_FLOAT64
     if pa.types.is_float32(t):
         return DT_FLOAT32
+    if pa.types.is_uint64(t):
+        return DT_UINT64
+    if pa.types.is_uint32(t):
+        return DT_UINT32
+    if pa.types.is_uint16(t):
+        return DT_UINT16
+    if pa.types.is_uint8(t):
+        return DT_UINT8
     if pa.types.is_boolean(t):
         return DT_BOOL
     if pa.types.is_string(t) or pa.types.is_large_string(t):
@@ -139,13 +174,17 @@ def dtype_id_for_arrow(t: pa.DataType) -> int:
 
 
 def _to_int_view(arr: pa.Array, dt: int) -> np.ndarray:
-    """Non-null arrow numeric array -> int64 numpy view for int codecs."""
+    """Non-null arrow numeric array -> int64 numpy view for int codecs.
+    uint64 is reinterpreted bit-for-bit (bijective; order is irrelevant to
+    the codecs, and stats are computed from the original array)."""
     if dt == DT_TIMESTAMP_US:
         return np.asarray(arr.cast(pa.int64()), dtype=np.int64)
     if dt == DT_DATE32:
         return np.asarray(arr.cast(pa.int32()), dtype=np.int64)
     if dt == DT_BOOL:
         return np.asarray(arr.cast(pa.int8()), dtype=np.int64)
+    if dt == DT_UINT64:
+        return np.asarray(arr, dtype=np.uint64).view(np.int64)
     return np.asarray(arr, dtype=np.int64)
 
 
@@ -156,7 +195,12 @@ def _from_int_view(values: np.ndarray, dt: int) -> pa.Array:
         return pa.array(values.astype("int32"), type=pa.int32()).cast(pa.date32())
     if dt == DT_BOOL:
         return pa.array(values.astype(bool))
-    np_t = {DT_INT64: "int64", DT_INT32: "int32", DT_INT16: "int16", DT_INT8: "int8"}[dt]
+    if dt == DT_UINT64:
+        return pa.array(values.astype(np.int64).view(np.uint64),
+                        type=pa.uint64())
+    np_t = {DT_INT64: "int64", DT_INT32: "int32", DT_INT16: "int16",
+            DT_INT8: "int8", DT_UINT32: "uint32", DT_UINT16: "uint16",
+            DT_UINT8: "uint8"}[dt]
     return pa.array(values.astype(np_t), type=_DT_ARROW[dt])
 
 
@@ -198,7 +242,9 @@ def _encode_values(arr: pa.Array, dt: int, codec: int) -> bytes:
         if dt in _INT_DTS or dt == DT_BOOL:
             v = _to_int_view(arr, dt)
             np_t = {DT_INT64: "<i8", DT_INT32: "<i4", DT_INT16: "<i2", DT_INT8: "<i1",
-                    DT_TIMESTAMP_US: "<i8", DT_DATE32: "<i4", DT_BOOL: "<u1"}[dt]
+                    DT_TIMESTAMP_US: "<i8", DT_DATE32: "<i4", DT_BOOL: "<u1",
+                    DT_UINT64: "<i8", DT_UINT32: "<u4", DT_UINT16: "<u2",
+                    DT_UINT8: "<u1"}[dt]
             return v.astype(np_t).tobytes()
         return np.asarray(arr).astype({DT_FLOAT64: "<f8", DT_FLOAT32: "<f4"}[dt]).tobytes()
     if codec == DICT:
@@ -260,6 +306,8 @@ def _decode_values(raw: bytes, dt: int, codec: int, count: int) -> pa.Array:
             return plain.decode_strings(raw, binary=(dt == DT_BINARY))
         np_t = {DT_INT64: "<i8", DT_INT32: "<i4", DT_INT16: "<i2", DT_INT8: "<i1",
                 DT_TIMESTAMP_US: "<i8", DT_DATE32: "<i4", DT_BOOL: "<u1",
+                DT_UINT64: "<i8", DT_UINT32: "<u4", DT_UINT16: "<u2",
+                DT_UINT8: "<u1",
                 DT_FLOAT64: "<f8", DT_FLOAT32: "<f4"}[dt]
         v = np.frombuffer(raw, dtype=np_t, count=count)
         if dt in (DT_FLOAT64, DT_FLOAT32):

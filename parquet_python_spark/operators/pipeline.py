@@ -642,9 +642,11 @@ def infer_schema_from_blocks(blocks: DataFrame) -> StructType:
     cols = (blocks.select("col_idx", "column", "dtype_id").distinct()
             .orderBy("col_idx").collect())
     from pyspark.sql.pandas.types import from_arrow_type
+    # spark_safe: unsigned widths promote to the next wider signed type
+    # (Spark has no unsigned types; reference promotion api.py:974-996)
     return StructType([
         StructField(r["column"],
-                    from_arrow_type(enc.arrow_type_for_dtype_id(r["dtype_id"])),
+                    from_arrow_type(enc.spark_safe_arrow_type(r["dtype_id"])),
                     True)
         for r in cols])
 

@@ -141,3 +141,46 @@ def test_dict_float_roundtrip(rng):
     assert enc.decode_block(enc.encode_block(arr, enc.DICT)).equals(arr)
     arr32 = arr.cast(pa.float32())
     assert enc.decode_block(enc.encode_block(arr32, enc.DICT)).equals(arr32)
+
+
+# -------------------------------------------------- unsigned converted types
+
+import numpy as _np
+import pyarrow as _pa
+import pytest as _pytest
+
+from parquet_python_spark.operators import encoder as _enc
+from parquet_python_spark.operators import selector as _sel
+
+
+@_pytest.mark.parametrize("arr", [
+    _pa.array(_np.array([0, 1, 255, 128], dtype=_np.uint8)),
+    _pa.array(_np.array([0, 65535, 4242], dtype=_np.uint16)),
+    _pa.array(_np.array([0, 2**32 - 1, 7], dtype=_np.uint32)),
+    _pa.array(_np.array([0, 2**64 - 1, 2**63, 42], dtype=_np.uint64)),
+    _pa.array([1, None, 2**63 + 5], type=_pa.uint64()),
+], ids=["u8", "u16", "u32", "u64-extremes", "u64-nulls"])
+def test_uint_roundtrip_selected_codec(arr):
+    """UINT_8..64 converted-type parity (reference
+    fastparquet/converted_types.py:149-248): exact arrow roundtrip through
+    the auto-selected codec, including uint64 values above int64 max."""
+    c = _sel.choose(arr)
+    dec = _enc.decode_block(_enc.encode_block(arr, c.codec))
+    assert dec.equals(arr) or dec.cast(arr.type).equals(arr), c.codec_name
+
+
+@_pytest.mark.parametrize("codec", [_enc.PLAIN, _enc.DICT, _enc.BITPACK,
+                                    _enc.RLE_FOR, _enc.DELTA])
+def test_uint64_every_int_codec(codec):
+    arr = _pa.array(_np.array([2**64 - 1, 0, 2**63, 12345, 2**63 - 1],
+                              dtype=_np.uint64))
+    dec = _enc.decode_block(_enc.encode_block(arr, codec))
+    assert dec.equals(arr)
+
+
+def test_uint_spark_promotion():
+    assert _enc.spark_safe_arrow_type(_enc.DT_UINT8) == _pa.int16()
+    assert _enc.spark_safe_arrow_type(_enc.DT_UINT16) == _pa.int32()
+    assert _enc.spark_safe_arrow_type(_enc.DT_UINT32) == _pa.int64()
+    with _pytest.raises(TypeError):
+        _enc.spark_safe_arrow_type(_enc.DT_UINT64)

@@ -193,6 +193,32 @@ def test_truncate_max_is_upper_bound():
     assert pl._truncate_max("short") == "short"
 
 
+def test_uint_blocks_decode_widened_through_spark(spark):
+    """A store written kernel-side with uint32 columns decodes through
+    Spark with the reference's promotion semantics (uint32 -> int64,
+    values exact)."""
+    import pyarrow as pa
+
+    from parquet_python_spark.operators import encoder as enc
+    from parquet_python_spark.operators import selector
+
+    vals = np.array([0, 2**32 - 1, 7, 123456789], dtype=np.uint32)
+    arr = pa.array(vals)
+    blk = enc.encode_block(arr, selector.choose(arr).codec)
+    row = dict(part_key=1, repo="r", split_id=0, page_id=0, col_idx=0,
+               column="u", codec="plain", compression="UNCOMPRESSED",
+               dtype_id=enc.DT_UINT32, n_values=len(vals), n_nulls=0,
+               raw_size=int(arr.nbytes), encoded_size=len(blk),
+               encode_ms=0.0, min_s=None, max_s=None,
+               min_num=float(vals.min()), max_num=float(vals.max()),
+               row_hash=0, metrics="{}", block=blk)
+    blocks = spark.createDataFrame([row], pl.BLOCKS_SCHEMA)
+    out = pl.decode_blocks(blocks)
+    assert dict(out.dtypes)["u"] == "bigint"
+    got = sorted(r["u"] for r in out.collect())
+    assert got == sorted(int(v) for v in vals)
+
+
 def test_pipeline_with_block_compression(spark, code_df, tmp_path):
     store = str(tmp_path / "gz")
     pl.run_encode(code_df, store, target_rows=1000, compression="GZIP",
