@@ -158,8 +158,14 @@ def q_q1_pricing_decoded(spark, sf_dir):
     shuffle, and the shipdate filter prunes whole parts on typed numeric
     stats (year-partitioned layout) before decode — r1 decoded all 11
     columns of every block and filtered after."""
+    # target_rows=50k salts every year-repo into its own mono-year parts
+    # (at default 250k the small year-repos bin-pack into mixed-year
+    # buckets and date pruning loses its layout).  persist(): the decode
+    # path consumes the lazy blocks three times (schema inference, stats
+    # pruning, decode) — without it the encode re-runs each time.
     blocks = pl.encode_table(_lineitem_source(spark, sf_dir),
-                             columns=LINEITEM_COLS)
+                             columns=LINEITEM_COLS,
+                             target_rows=50_000).persist()
     d = pl.decode_blocks(
         blocks,
         columns=["l_returnflag", "l_linestatus", "l_quantity",

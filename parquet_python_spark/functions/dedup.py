@@ -89,8 +89,13 @@ def shingles(df: DataFrame, col: str = "text", id_col: str = "doc_id",
             }).drop_duplicates()
             yield out
 
-    out = df.select(id_col, col).mapInPandas(run, schema)
+    from ._parallel import ensure_parallelism
+
+    out = ensure_parallelism(df.select(id_col, col)).mapInPandas(run, schema)
     if docfreq_cap is not None:
+        # persist: the docfreq count AND the anti-join both consume the
+        # edge list — without it the Python shingle pass runs twice
+        out = out.persist()
         hot = (out.groupBy("shingle").count()
                .where(F.col("count") > docfreq_cap).select("shingle"))
         out = out.join(hot, "shingle", "left_anti")
@@ -202,11 +207,13 @@ def simhash(df: DataFrame, col: str = "text", id_col: str = "doc_id",
     if not 1 <= bits <= SIMHASH_BITS:
         raise ValueError(f"bits must be in [1, {SIMHASH_BITS}] "
                          "(15 md5 hex chars -> 60 usable bits)")
+    from ._parallel import ensure_parallelism
+
     toks = F.explode(
         F.regexp_extract_all(F.lower(F.col(col)), F.lit(WORD_RE), 0))
     h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
-    e = df.select(F.col(id_col), toks.alias("tok")).select(
-        id_col, h.alias("h"))
+    e = ensure_parallelism(df.select(F.col(id_col), F.col(col))).select(
+        F.col(id_col), toks.alias("tok")).select(id_col, h.alias("h"))
     votes = [
         F.sum(F.when(F.shiftrightunsigned("h", b).bitwiseAND(F.lit(1)) == 1,
                      1).otherwise(-1)).alias(f"v{b}")

@@ -36,8 +36,11 @@ def cosine_topk(df: DataFrame, queries: DataFrame, k: int = 5,
     data partition scores locally, then one shuffle ranks per query.  Ties
     broken by neighbour id so results are total-ordered and reproducible.
     """
-    pairs = df.select(F.col(id_col).alias("n_id"),
-                      F.col(vec_col).alias("vb")).crossJoin(
+    from ._parallel import ensure_parallelism
+
+    pairs = ensure_parallelism(
+        df.select(F.col(id_col).alias("n_id"),
+                  F.col(vec_col).alias("vb"))).crossJoin(
         F.broadcast(queries.select(F.col(q_id_col).alias("q_id"),
                                    F.col(vec_col).alias("va"))))
     scored = with_cosine(pairs, "va", "vb", digits=digits).where(
@@ -107,6 +110,9 @@ def cosine_topk_lsh(df: DataFrame, queries: DataFrame, k: int = 5,
                                F.lit(1 << i)).otherwise(F.lit(0))
         return out
 
+    from ._parallel import ensure_parallelism
+
+    df = ensure_parallelism(df)
     tb = F.posexplode(F.array(*[table_bucket(F.col(vec_col), t)
                                 for t in range(n_tables)]))
     data_b = df.select(F.col(id_col).alias("n_id"),
@@ -149,8 +155,11 @@ def cosine_topk_ivf(df: DataFrame, queries: DataFrame, k: int = 5,
     edges.  Each data vector lives in exactly one bucket and probe buckets
     are distinct, so no pair dedup is needed.  Scored candidates per query
     ~ (1 + bits) / 2**bits of the data — still sublinear."""
-    data = df.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("vb"),
-                     ivf_bucket(F.col(vec_col), bits, stride).alias("bucket"))
+    from ._parallel import ensure_parallelism
+
+    data = ensure_parallelism(df).select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("vb"),
+        ivf_bucket(F.col(vec_col), bits, stride).alias("bucket"))
     q0 = queries.select(
         F.col(q_id_col).alias("q_id"), F.col(vec_col).alias("va"),
         ivf_bucket(F.col(vec_col), bits, stride).alias("bucket"))

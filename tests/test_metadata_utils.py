@@ -56,3 +56,26 @@ def test_iter_pages(spark, store):
         if n_pages >= 3:
             break
     assert total > 0 and n_pages == 3
+
+
+def test_export_hive_layout_and_pruning(spark, tmp_path):
+    """Hive key=value sink parity (fastparquet writer.py:1368-1409): the
+    directory layout is key=value and a partition predicate prunes at the
+    source (PartitionFilters), not post-scan."""
+    import os
+
+    from parquet_python_spark.operators import pipeline as pl
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "lang", "n_chars"))
+    out = str(tmp_path / "hive")
+    pl.export_hive(docs, out, ["lang"])
+    langs = {d for d in os.listdir(out) if d.startswith("lang=")}
+    assert langs, "expected key=value partition directories"
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    q = back.where(F.col("lang") == "en")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan.split(
+        "PartitionFilters")[1].splitlines()[0]
+    assert q.count() == docs.where(F.col("lang") == "en").count()
