@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from parquet_python_spark.functions import dedup, multimodal, similarity, text
 from parquet_python_spark.operators import pipeline as pl
+from parquet_python_spark.streaming import incremental as st
 
 
 # --------------------------------------------------------------- helpers
@@ -237,6 +238,21 @@ def q_roundtrip_props_map(spark, sf_dir):
     return d.select("event_id", F.explode("props_map").alias("mkey", "mval"))
 
 
+def q_windowed_rollup(spark, sf_dir):
+    """Watermarked tumbling-window rollup (streaming/incremental.py) in its
+    batch-equivalent form: identical operator tree Structured Streaming
+    runs incrementally; the oracle checks the windowing semantics."""
+    events = (spark.read.parquet(f"{sf_dir}/events.parquet")
+              # decimal sum: double addition order differs between engines
+              .withColumn("value", F.col("value").cast("decimal(18,6)")))
+    out = st.windowed_encode_metrics(events, window="1 day",
+                                     watermark="2 days")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd").alias("day"),
+        "event_type", "n_events",
+        F.round("sum_value", 3).cast("double").alias("sum_value"))
+
+
 def q_token_count(spark, sf_dir):
     return text.token_counts(_documents(spark, sf_dir))
 
@@ -277,6 +293,13 @@ def q_knn_ivf(spark, sf_dir):
     return similarity.cosine_topk_ivf(emb := spark.read.parquet(
         f"{sf_dir}/embeddings.parquet"), _knn_queries(emb), k=5, bits=8,
         stride=8, multiprobe=True)
+
+
+def q_knn_blas(spark, sf_dir):
+    # BLAS-batched exact scorer (the throughput tier); ranks on round(_,3)
+    # so it matches the JVM-fold oracle away from float boundaries
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.cosine_topk_blas(emb, _knn_queries(emb), k=5)
 
 
 def q_knn_lsh(spark, sf_dir):
@@ -329,6 +352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_embeddings": q_roundtrip_embeddings,
         "roundtrip_props_map": q_roundtrip_props_map,
         "merge_count": q_merge_count,
+        "windowed_rollup": q_windowed_rollup,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
@@ -339,6 +363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": q_knn_bruteforce,
         "knn_ivf": q_knn_ivf,
         "knn_lsh": q_knn_lsh,
+        "knn_blas": q_knn_blas,
         "codec_choices": q_codec_choices,
         "simhash_pairs": q_simhash_pairs,
         "winnow_fingerprint": q_winnow_fingerprint,
@@ -423,6 +448,12 @@ def oracle_sql() -> dict[str, str]:
                    regexp_extract(props, '"([^"]+)"', 1) AS mkey,
                    regexp_extract(props, ': (-?[0-9]+)', 1)::INT AS mval
             FROM events""",
+        "windowed_rollup": """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   event_type,
+                   count(*)::BIGINT AS n_events,
+                   round(SUM(value::DECIMAL(18,6)), 3)::DOUBLE AS sum_value
+            FROM events GROUP BY 1, 2""",
         "token_count": r"""
             SELECT doc_id,
                    len(regexp_extract_all(text, '\S+'))::INT AS n_tokens,
@@ -562,6 +593,15 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY cos_sim DESC, n_id ASC)::INT AS rank
               FROM pairs) WHERE rank <= 5""",
         "knn_lsh": _knn_lsh_oracle(),
+        # same oracle as knn_bruteforce: the BLAS scorer is exact and both
+        # rank on round(cos, 3)
+        "knn_blas":
+            "WITH " + _COS_PAIRS_CTE.format(extra_join="") + """
+            SELECT q_id, n_id, cos_sim, rank FROM (
+              SELECT q_id, n_id, cos_sim,
+                     row_number() OVER (PARTITION BY q_id
+                                        ORDER BY cos_sim DESC, n_id ASC)::INT AS rank
+              FROM pairs) WHERE rank <= 5""",
     }
 
 

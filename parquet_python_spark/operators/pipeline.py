@@ -198,14 +198,29 @@ _ARROW_BLOCKS_SCHEMA = pa.schema([
 ])
 
 
+def _per_column_compression(compression, cols: list[str]) -> dict[str, str]:
+    """Normalize the compression argument to {column: codec_name}.  Accepts
+    one name for all columns, or a per-column dict with ``"*"`` /
+    ``"_default"`` as the fallback key — the reference's per-column
+    compression dict (fastparquet writer.py:785-790, 1157-1187)."""
+    if isinstance(compression, dict):
+        default = compression.get("*", compression.get("_default",
+                                                       "UNCOMPRESSED"))
+        return {c: str(compression.get(c, default)).upper() for c in cols}
+    name = str(compression or "UNCOMPRESSED").upper()
+    return {c: name for c in cols}
+
+
 def make_encode_group(cols: list[str], page_bytes: int = DEFAULT_PAGE_BYTES,
-                      compression_name: str = "UNCOMPRESSED"):
+                      compression_name="UNCOMPRESSED"):
     """Build the applyInArrow function for one (part_key) group.
 
     Arrow-native (no pandas object conversion in the hot path); the
     order-independent per-page row hash XORs the JVM-computed ``_row_hash``
-    column (xxhash64 over all encoded columns, added pre-shuffle)."""
-    comp_id = comp.resolve(compression_name)
+    column (xxhash64 over all encoded columns, added pre-shuffle).
+    ``compression_name`` may be a single codec or a per-column dict."""
+    comp_names = _per_column_compression(compression_name, cols)
+    comp_ids = {c: comp.resolve(n) for c, n in comp_names.items()}
 
     def encode_group(key: tuple, tbl: pa.Table) -> pa.Table:
         part_key = int(key[0].as_py() if hasattr(key[0], "as_py") else key[0])
@@ -234,7 +249,7 @@ def make_encode_group(cols: list[str], page_bytes: int = DEFAULT_PAGE_BYTES,
                 arr = col.slice(lo, hi - lo)
                 t0 = time.perf_counter()
                 choice = selector.choose(arr)
-                blk = enc.encode_block(arr, choice.codec, comp_id)
+                blk = enc.encode_block(arr, choice.codec, comp_ids[c])
                 ms = (time.perf_counter() - t0) * 1000.0
                 mn, mx = _minmax_str(arr)
                 mn_n, mx_n = _minmax_num(arr, choice.dtype_id)
@@ -244,7 +259,7 @@ def make_encode_group(cols: list[str], page_bytes: int = DEFAULT_PAGE_BYTES,
                 out.append(dict(
                     part_key=part_key, repo=repo, split_id=split_id,
                     page_id=page_id, col_idx=ci, column=c,
-                    codec=choice.codec_name, compression=compression_name,
+                    codec=choice.codec_name, compression=comp_names[c],
                     dtype_id=choice.dtype_id, n_values=hi - lo,
                     n_nulls=int(arr.null_count), raw_size=int(arr.nbytes),
                     encoded_size=len(blk), encode_ms=ms,

@@ -79,6 +79,22 @@ def test_ivf_is_subset_of_bucket(spark):
     assert (top.groupby("q_id").size() <= 3).all()
 
 
+def test_blas_topk_matches_fold(spark):
+    """The BLAS-batched scorer must select the same neighbours as the
+    JVM-fold oracle twin (ranking happens on round(cos, 3), so the two
+    summation orders agree away from 5e-4 boundaries)."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), "embedding")
+    fold = similarity.cosine_topk(emb, q, k=5).toPandas()
+    blas = similarity.cosine_topk_blas(emb, q, k=5).toPandas()
+    key = ["q_id", "n_id", "rank"]
+    a = fold.sort_values(key, ignore_index=True)
+    b = blas.sort_values(key, ignore_index=True)
+    assert a[key].equals(b[key])
+    assert (a.cos_sim - b.cos_sim).abs().max() <= 1e-9
+
+
 def test_lsh_multitable_recall(spark):
     """Multi-table LSH (8 dim-interleaved tables, Hamming<=2 probes) must
     reach recall@5 >= 0.9 vs brute force at sf0.01.  The synthetic

@@ -227,3 +227,19 @@ def test_pipeline_with_block_compression(spark, code_df, tmp_path):
     assert blocks.select("compression").distinct().collect()[0][0] == "GZIP"
     res = pl.verify_roundtrip(code_df, pl.decode_blocks(blocks))
     assert res["ok"], res
+
+
+def test_per_column_compression_dict(spark, code_df, tmp_path):
+    """Reference per-column compression parity (fastparquet
+    writer.py:785-790): a dict maps columns to codecs with '*' default."""
+    store = str(tmp_path / "percol")
+    pl.run_encode(code_df, store, target_rows=1000,
+                  compression={"content": "GZIP", "*": "UNCOMPRESSED"},
+                  resume=False)
+    blocks = pl.read_blocks(spark, store)
+    got = {r["column"]: r["compression"] for r in
+           blocks.select("column", "compression").distinct().collect()}
+    assert got["content"] == "GZIP"
+    assert all(v == "UNCOMPRESSED" for c, v in got.items() if c != "content")
+    res = pl.verify_roundtrip(code_df, pl.decode_blocks(blocks))
+    assert res["ok"], res
