@@ -199,6 +199,20 @@ def q_roundtrip_embeddings(spark, sf_dir):
                     F.posexplode("embedding").alias("idx", "val"))
 
 
+def q_roundtrip_struct(spark, sf_dir):
+    """STRUCT pipeline parity: structs flatten to dotted paths for
+    encoding (the reference's flat-schema model, fastparquet schema
+    flattening) and re-nest on decode; output exploded to scalars for the
+    driver canonicalizer."""
+    src = (_events_source(spark, sf_dir)
+           .withColumn("meta", F.struct(F.col("user_id").alias("uid"),
+                                        F.col("event_type").alias("etype"))))
+    blocks = pl.encode_table(src, columns=["event_id", "meta"]).persist()
+    d = pl.decode_blocks(blocks)
+    return d.select("event_id", F.col("meta.uid").alias("uid"),
+                    F.col("meta.etype").alias("etype"))
+
+
 def q_merge_count(spark, sf_dir):
     """Store maintenance parity (reference merge, fastparquet
     writer.py:1464-1494): encode two halves of documents into separate
@@ -351,6 +365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_decoded": q_q1_pricing_decoded,
         "roundtrip_embeddings": q_roundtrip_embeddings,
         "roundtrip_props_map": q_roundtrip_props_map,
+        "roundtrip_struct": q_roundtrip_struct,
         "merge_count": q_merge_count,
         "windowed_rollup": q_windowed_rollup,
         "token_count": q_token_count,
@@ -440,6 +455,9 @@ def oracle_sql() -> dict[str, str]:
                          unnest(list_transform(range(1, len(embedding) + 1),
                                 i -> {'i': i, 'v': embedding[i]})) AS u
                   FROM embeddings)""",
+        "roundtrip_struct":
+            "SELECT event_id, user_id AS uid, event_type AS etype "
+            "FROM events",
         "merge_count":
             "SELECT count(*)::BIGINT AS n_rows, "
             "count(DISTINCT doc_id)::BIGINT AS n_docs FROM documents",

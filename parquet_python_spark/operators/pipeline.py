@@ -241,6 +241,7 @@ def make_encode_group(cols: list[str], page_bytes: int = DEFAULT_PAGE_BYTES,
         # this amortizes per-block fixed costs (symbol-table builds,
         # selector sampling) that dominated with row-aligned pages
         for ci, c in enumerate(cols):
+            logical = c.replace(FLAT_SEP, ".")  # dotted path in metadata
             col = tbl[c].combine_chunks()
             bpr = _sampled_bytes_per_row(tbl, [c])
             rows_per_page = max(int(page_bytes / bpr), 1024)
@@ -258,7 +259,7 @@ def make_encode_group(cols: list[str], page_bytes: int = DEFAULT_PAGE_BYTES,
                     if rh_all is not None and ci == 0 and hi > lo else 0)
                 out.append(dict(
                     part_key=part_key, repo=repo, split_id=split_id,
-                    page_id=page_id, col_idx=ci, column=c,
+                    page_id=page_id, col_idx=ci, column=logical,
                     codec=choice.codec_name, compression=comp_names[c],
                     dtype_id=choice.dtype_id, n_values=hi - lo,
                     n_nulls=int(arr.null_count), raw_size=int(arr.nbytes),
@@ -287,6 +288,79 @@ def _metrics_json(metrics: dict) -> str:
     return json.dumps({k: clean(v) for k, v in metrics.items()})
 
 
+STRUCT_NOTNULL = "__notnull"
+# physical separator for flattened struct paths while the data moves
+# through Spark: pyspark's own applyInArrow resolves `df[name]` per
+# column, and a literal dot would parse as struct-field access inside
+# pyspark itself.  Block metadata and decoded output use real dots.
+FLAT_SEP = "\x1f"
+
+
+def _flatten_structs(df: DataFrame, cols: list[str]):
+    """Expand struct columns into dotted-path flat columns (recursively) —
+    the reference's own data model: fastparquet reads nested data as a
+    flat schema of dotted paths (schema.py flattening; the writer can't
+    produce nested at all, writer.py:598).  A ``<col>.__notnull`` boolean
+    records struct-level validity so NULL structs survive the roundtrip
+    (the dotted-flat model otherwise can't distinguish a null struct from
+    a struct of nulls — this is the def-level bit in parquet terms)."""
+    from pyspark.sql.types import StructType as SparkStruct
+
+    out_cols: list[str] = []
+    changed = False
+    for c in cols:
+        dt = df.schema[c].dataType
+        if isinstance(dt, SparkStruct):
+            changed = True
+            nn = f"{c}{FLAT_SEP}{STRUCT_NOTNULL}"
+            df = df.withColumn(nn, F.col(f"`{c}`").isNotNull())
+            out_cols.append(nn)
+            for f in dt.fields:
+                name = f"{c}{FLAT_SEP}{f.name}"
+                df = df.withColumn(name, F.col(f"`{c}`").getField(f.name))
+                out_cols.append(name)
+        else:
+            out_cols.append(c)
+    if changed:
+        return _flatten_structs(df, out_cols)  # nested structs recurse
+    return df, out_cols
+
+
+def reassemble_structs(df: DataFrame) -> DataFrame:
+    """Inverse of ``_flatten_structs``: dotted columns re-nest into struct
+    columns, honoring the ``__notnull`` validity bit."""
+    if not any("." in c for c in df.columns):
+        return df
+
+    def build(prefix: str, names: list[str]):
+        children: dict[str, list[str]] = {}
+        order: list[str] = []
+        for n in names:
+            head = n.split(".", 1)[0]
+            if head not in children:
+                children[head] = []
+                order.append(head)
+            if "." in n:
+                children[head].append(n.split(".", 1)[1])
+        exprs = []
+        for head in order:
+            if head == STRUCT_NOTNULL:
+                continue
+            full = f"{prefix}{head}"
+            subs = children[head]
+            if subs:
+                inner = build(full + ".", subs)
+                st = F.struct(*inner)
+                if f"{full}.{STRUCT_NOTNULL}" in df.columns:
+                    st = F.when(F.col(f"`{full}.{STRUCT_NOTNULL}`"), st)
+                exprs.append(st.alias(head))
+            else:
+                exprs.append(F.col(f"`{full}`").alias(head))
+        return exprs
+
+    return df.select(*build("", list(df.columns)))
+
+
 def encode_table(df: DataFrame, columns: list[str] | None = None,
                  target_rows: int = part.DEFAULT_TARGET_ROWS,
                  page_bytes: int = DEFAULT_PAGE_BYTES,
@@ -294,10 +368,14 @@ def encode_table(df: DataFrame, columns: list[str] | None = None,
                  plan: DataFrame | None = None) -> DataFrame:
     """Source DataFrame -> lazy blocks DataFrame (one row per page×column).
 
+    Struct columns flatten to dotted paths before encoding (see
+    ``_flatten_structs``); ``decode_blocks`` re-nests them.
+
     The groupBy on ``part_key`` is the single shuffle of the encode path;
     Catalyst plans it as hash-partitioned exchange + grouped Arrow UDF.
     """
     cols = columns or [c for c in df.columns if c not in _HELPER_COLS]
+    df, cols = _flatten_structs(df, cols)
     if "part_key" not in df.columns:
         df = part.with_partition_plan(df, target_rows, plan=plan)
     # order-independent row integrity hash, computed JVM-side pre-shuffle.
@@ -305,9 +383,10 @@ def encode_table(df: DataFrame, columns: list[str] | None = None,
     # unspecified — so maps are hashed via their sorted entry list.
     from pyspark.sql.types import MapType
 
+    # backticks: flattened struct paths contain literal dots
     hash_cols = [
-        F.array_sort(F.map_entries(c))
-        if isinstance(df.schema[c].dataType, MapType) else F.col(c)
+        F.array_sort(F.map_entries(F.col(f"`{c}`")))
+        if isinstance(df.schema[c].dataType, MapType) else F.col(f"`{c}`")
         for c in cols]
     df = df.withColumn("_row_hash", F.xxhash64(*hash_cols))
     fn = make_encode_group(cols, page_bytes, compression)
@@ -667,7 +746,8 @@ def infer_schema_from_blocks(blocks: DataFrame) -> StructType:
 
 
 def decode_blocks(blocks: DataFrame, columns: list[str] | None = None,
-                  filters=None, keep_part_key: bool = False) -> DataFrame:
+                  filters=None, keep_part_key: bool = False,
+                  reassemble: bool = True) -> DataFrame:
     """Blocks -> original rows. Projection prunes blocks before the shuffle;
     ``filters`` additionally prunes whole blocks on min/max stats, then
     re-applies the exact predicate on decoded rows (the reference's two-level
@@ -679,7 +759,11 @@ def decode_blocks(blocks: DataFrame, columns: list[str] | None = None,
         if columns is not None:
             columns = list(dict.fromkeys(list(columns) + [c for c in need if c not in columns]))
     if columns is not None:
-        blocks = blocks.where(F.col("column").isin(columns))
+        # a requested struct column matches its dotted children
+        cond = F.col("column").isin(columns)
+        for c in columns:
+            cond = cond | F.col("column").startswith(c + ".")
+        blocks = blocks.where(cond)
     # infer the schema BEFORE stats pruning: a filter that prunes every
     # part must still yield an empty frame with the right columns, not an
     # unresolvable zero-column plan
@@ -721,6 +805,8 @@ def decode_blocks(blocks: DataFrame, columns: list[str] | None = None,
     out = blocks.groupBy("part_key").applyInArrow(decode_group, schema)
     if filters is not None:
         out = filt.apply_filters(out, filters)
+    if reassemble:
+        out = reassemble_structs(out)
     return out
 
 

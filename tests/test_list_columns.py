@@ -120,3 +120,45 @@ def test_map_pipeline_roundtrip(spark, tmp_path):
     a = (dec.select("event_id", F.explode("props_map").alias("k", "v")))
     b = (src.select("event_id", F.explode("props_map").alias("k", "v")))
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+# -------------------------------------------------------------- struct<...>
+
+@pytest.mark.spark
+def test_struct_pipeline_roundtrip(spark, tmp_path):
+    """Struct columns flatten to dotted paths for encoding (the reference's
+    flat-schema model) and re-nest on decode; a __notnull validity column
+    keeps NULL structs distinct from structs of nulls."""
+    src = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+           .withColumn("meta", F.when(
+               F.col("event_id") % 7 != 0,
+               F.struct(F.col("user_id").alias("uid"),
+                        F.col("event_type").alias("etype"),
+                        F.struct(F.col("value").alias("v")).alias("inner"))))
+           .withColumn("repo", (F.col("user_id") % 7).cast("string"))
+           .withColumn("path", F.col("event_id").cast("string"))
+           .withColumn("commit", F.lit("0")))
+    store = str(tmp_path / "structstore")
+    pl.run_encode(src, store, columns=["event_id", "meta"],
+                  target_rows=400, resume=False)
+    dec = pl.decode_blocks(pl.read_blocks(spark, store))
+    assert dict(dec.dtypes)["meta"].startswith("struct")
+    a = dec.select("event_id", "meta")
+    b = src.select("event_id", "meta")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # null structs preserved as nulls, not structs-of-nulls
+    n_null = src.where(F.col("meta").isNull()).count()
+    assert dec.where(F.col("meta").isNull()).count() == n_null
+
+
+@pytest.mark.spark
+def test_struct_projection_by_struct_name(spark, tmp_path):
+    src = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+           .withColumn("meta", F.struct(F.col("user_id").alias("uid")))
+           .withColumn("repo", F.lit("r"))
+           .withColumn("path", F.col("event_id").cast("string"))
+           .withColumn("commit", F.lit("0")))
+    blocks = pl.encode_table(src, columns=["event_id", "meta"]).persist()
+    out = pl.decode_blocks(blocks, columns=["meta"])
+    assert out.columns == ["meta"]
+    assert out.count() == src.count()
