@@ -20,4 +20,12 @@ streaming/  Structured Streaming encode path
 analytics/  training-data pipeline ops (dedup, similarity, text stats)
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+
+def __getattr__(name):
+    # lazy: importing the package must not require a SparkSession
+    if name == "BlockStore":
+        from .store import BlockStore
+        return BlockStore
+    raise AttributeError(name)

@@ -561,8 +561,9 @@ def run_encode(df: DataFrame, path: str,
     if resume:
         done = completed_part_keys(spark, path)
         if done is not None:
-            # north_rule resume: anti-join completed partition ids
-            assigned = assigned.join(done, "part_key", "left_anti")
+            # north_rule resume: anti-join completed partition ids (one row
+            # per part — broadcast keeps the fact table shuffle-free here)
+            assigned = assigned.join(F.broadcast(done), "part_key", "left_anti")
     blocks = encode_table(assigned, columns, target_rows, page_bytes, compression)
     write_blockstore(blocks, path, mode="append")
     lin = read_lineage(spark, path)
@@ -949,7 +950,8 @@ def prune_blocks(blocks: DataFrame, filters) -> DataFrame:
         surviving = cond if surviving is None else (surviving | cond)
     keep = (stats.groupBy("part_key").agg(surviving.alias("_keep"))
             .where(F.col("_keep")).select("part_key"))
-    return blocks.join(keep, ["part_key"], "left_semi")
+    # one row per part — broadcast so the blocks side never shuffles
+    return blocks.join(F.broadcast(keep), ["part_key"], "left_semi")
 
 
 def export_hive(df: DataFrame, path: str, partition_cols: list[str],
