@@ -42,10 +42,13 @@ LINEDICT = 6     # strings: newline-split line dictionary (code text)
 HEXPACK = 7      # strings: fixed-length lowercase hex (commit ids)
 LIST = 8         # list<primitive>: offsets + recursively-encoded child block
 MAP = 9          # map<k,v>: offsets + key block + value block
+DECFLOAT = 10    # pseudodecimal: floats that are exactly k-decimal
+                 # fixed-point encode as scaled ints (child block)
 
 CODEC_NAMES = {PLAIN: "plain", DICT: "dict", RLE_FOR: "rle", DELTA: "delta",
                BITPACK: "bitpack", FSST: "fsst", LINEDICT: "linedict",
-               HEXPACK: "hexpack", LIST: "list", MAP: "map"}
+               HEXPACK: "hexpack", LIST: "list", MAP: "map",
+               DECFLOAT: "decfloat"}
 CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
 
 # logical dtype ids
@@ -173,6 +176,35 @@ def dtype_id_for_arrow(t: pa.DataType) -> int:
     raise TypeError(f"unsupported arrow type {t}")
 
 
+_DEC_SCALES = [10 ** k for k in range(0, 10)]
+
+
+def decfloat_scale(v: np.ndarray) -> int | None:
+    """Smallest power-of-ten scale making a float column exact k-decimal
+    fixed point, validated against the DECODE expression (``rint(v*s)/s``)
+    so DECFLOAT roundtrips bit-identically; None when not applicable
+    (non-finite values, negative zero, |v*s| beyond 2^53, or no scale)."""
+    if len(v) == 0:
+        return None
+    f32 = v.dtype == np.float32
+    v64 = v.astype(np.float64)
+    if not np.isfinite(v64).all():
+        return None
+    # -0.0 would decode as +0.0: value-equal but not bit-identical
+    if np.any(np.signbit(v64) & (v64 == 0)):
+        return None
+    for s in _DEC_SCALES:
+        scaled = v64 * s
+        if np.any(np.abs(scaled) > 2.0 ** 53):
+            return None
+        ints = np.rint(scaled)
+        dec = ints / s
+        ok = (dec.astype(np.float32) == v).all() if f32 else (dec == v64).all()
+        if ok:
+            return s
+    return None
+
+
 def _to_int_view(arr: pa.Array, dt: int) -> np.ndarray:
     """Non-null arrow numeric array -> int64 numpy view for int codecs.
     uint64 is reinterpreted bit-for-bit (bijective; order is irrelevant to
@@ -236,6 +268,24 @@ def _encode_values(arr: pa.Array, dt: int, codec: int) -> bytes:
         child_block = encode_block(child, child_choice.codec)
         return (np.uint32(n).tobytes() + rebased.tobytes()
                 + np.uint32(len(child_block)).tobytes() + child_block)
+    if codec == DECFLOAT:
+        # pseudodecimal (the BtrBlocks/PIDS trick): most real-world float
+        # columns are k-decimal fixed point (prices, rates, quantities);
+        # store round(v * 10^k) as ints behind a recursively-chosen int
+        # codec.  Exactness is validated against the DECODE expression
+        # (i / 10^k) so the roundtrip is bit-identical by construction.
+        if dt not in (DT_FLOAT64, DT_FLOAT32):
+            raise TypeError("DECFLOAT is for float columns")
+        np_t = np.float64 if dt == DT_FLOAT64 else np.float32
+        v = np.asarray(arr, dtype=np_t)
+        scale = decfloat_scale(v)
+        if scale is None:
+            raise ValueError("column is not k-decimal fixed point")
+        ints = np.rint(v.astype(np.float64) * scale).astype(np.int64)
+        from . import selector  # deferred: selector imports this module
+        child = pa.array(ints, type=pa.int64())
+        child_block = encode_block(child, selector.choose(child).codec)
+        return np.int64(scale).tobytes() + child_block
     if codec == PLAIN:
         if dt in (DT_STRING, DT_BINARY):
             return plain.encode_strings(arr)
@@ -301,6 +351,13 @@ def _decode_values(raw: bytes, dt: int, codec: int, count: int) -> pa.Array:
         blk_len = int(np.frombuffer(raw[off_end:off_end + 4], dtype="<u4")[0])
         child = decode_block(raw[off_end + 4:off_end + 4 + blk_len])
         return pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), child)
+    if codec == DECFLOAT:
+        scale = int(np.frombuffer(raw[:8], dtype="<i8")[0])
+        ints = np.asarray(decode_block(raw[8:]), dtype=np.int64)
+        v = ints.astype(np.float64) / scale
+        if dt == DT_FLOAT32:
+            v = v.astype(np.float32)
+        return pa.array(v, type=_DT_ARROW[dt])
     if codec == PLAIN:
         if dt in (DT_STRING, DT_BINARY):
             return plain.decode_strings(raw, binary=(dt == DT_BINARY))

@@ -75,7 +75,7 @@ def choose(arr: pa.Array, allow_fsst: bool = True) -> Choice:
     if dt == enc.DT_BOOL:
         return Choice(enc.BITPACK, dt, n, {"width": 1})
     if dt in (enc.DT_FLOAT64, enc.DT_FLOAT32):
-        return _choose_float(samp, dt, n)
+        return _choose_float(samp, vals, dt, n)
     return _choose_int(samp, vals, dt, n)
 
 
@@ -142,7 +142,7 @@ def _choose_string(samp: pa.Array, vals: pa.Array, dt: int, n: int, allow_fsst: 
     return Choice(codec, dt, n, metrics)
 
 
-def _choose_float(samp: pa.Array, dt: int, n: int) -> Choice:
+def _choose_float(samp: pa.Array, vals: pa.Array, dt: int, n: int) -> Choice:
     k = len(samp)
     distinct = len(pa.compute.unique(samp))
     itemsize = 8 if dt == enc.DT_FLOAT64 else 4
@@ -154,6 +154,20 @@ def _choose_float(samp: pa.Array, dt: int, n: int) -> Choice:
     width = bitpack.width_from_max(max(est_distinct_total - 1, 1))
     sizes = {enc.PLAIN: n * itemsize,
              enc.DICT: est_distinct_total * itemsize + n * width / 8}
+    np_t = np.float64 if dt == enc.DT_FLOAT64 else np.float32
+    s_np = np.asarray(samp, dtype=np_t)
+    scale = enc.decfloat_scale(s_np)
+    if scale is not None:
+        # sample rejects cheaply; the full-column validation (vectorized,
+        # hexpack-style precedent) may settle on a larger scale — what
+        # matters is that SOME exact scale exists before committing
+        full_scale = enc.decfloat_scale(np.asarray(vals, dtype=np_t))
+        if full_scale is not None:
+            ints = np.rint(s_np.astype(np.float64) * full_scale)
+            span = int(ints.max() - ints.min()) if k else 0
+            iw = bitpack.width_from_max(max(span, 1))
+            metrics["dec_scale"] = full_scale
+            sizes[enc.DECFLOAT] = n * iw / 8 + 17
     codec = min(sizes, key=sizes.get)
     metrics["predicted_sizes"] = {enc.CODEC_NAMES[c]: int(v) for c, v in sizes.items()}
     return Choice(codec, dt, n, metrics)

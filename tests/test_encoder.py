@@ -184,3 +184,45 @@ def test_uint_spark_promotion():
     assert _enc.spark_safe_arrow_type(_enc.DT_UINT32) == _pa.int64()
     with _pytest.raises(TypeError):
         _enc.spark_safe_arrow_type(_enc.DT_UINT64)
+
+
+# ------------------------------------------------------------ pseudodecimal
+
+def test_decfloat_roundtrip_and_wins():
+    """k-decimal floats (prices, rates) encode as scaled ints — exact by
+    validated construction, and strictly smaller than PLAIN."""
+    import pyarrow.parquet as pq
+    t = pq.read_table("/root/testdata/sf0.001/lineitem.parquet")
+    for c in ("l_quantity", "l_extendedprice", "l_discount"):
+        arr = t[c].combine_chunks()
+        ch = _sel.choose(arr)
+        assert ch.codec_name == "decfloat", c
+        blk = _enc.encode_block(arr, ch.codec)
+        assert _enc.decode_block(blk).equals(arr), c
+        assert len(blk) < len(_enc.encode_block(arr, _enc.PLAIN)), c
+
+
+def test_decfloat_rejects_irrational_and_negzero():
+    assert _enc.decfloat_scale(_np.array([3.14159265358979])) is None
+    assert _enc.decfloat_scale(_np.array([1.0, -0.0])) is None
+    assert _enc.decfloat_scale(_np.array([1.0, _np.nan])) is None
+    assert _enc.decfloat_scale(_np.array([_np.inf])) is None
+    arr = pa.array([1.5, 2.25], type=pa.float64())
+    import pytest as pt
+    with pt.raises(ValueError):
+        _enc.encode_block(pa.array([3.14159265358979]), _enc.DECFLOAT)
+
+
+def test_decfloat_float32():
+    import pyarrow as _pa2
+    v = _np.array([1.5, 2.25, -7.75, 0.0], dtype=_np.float32)
+    arr = _pa2.array(v, type=_pa2.float32())
+    blk = _enc.encode_block(arr, _enc.DECFLOAT)
+    assert _enc.decode_block(blk).equals(arr)
+
+
+def test_decfloat_nulls():
+    arr = pa.array([1.25, None, 3.5], type=pa.float64())
+    c = _sel.choose(arr)
+    blk = _enc.encode_block(arr, c.codec)
+    assert _enc.decode_block(blk).equals(arr)
