@@ -124,10 +124,15 @@ def bench_queries(spark, names) -> dict:
     qs = entry_mod.queries()
     out = {}
     for name in names:
+        # isolation: queries persist intermediates (q1 blocks, shingle edge
+        # lists); leaving them cached distorts every later query's memory
+        # budget and GC profile
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         n = qs[name](spark, SF_DIR).count()
         out[name] = round(time.perf_counter() - t0, 2)
         print(f"# {name}: {out[name]}s ({n} rows)", file=sys.stderr)
+    spark.catalog.clearCache()
     return out
 
 
@@ -137,6 +142,14 @@ def main():
     spark = build_spark(CPUS)
     try:
         enc = bench_encode(spark, ENCODE_ROWS)
+        # phase hygiene: the encode job leaves the heap full of shuffle /
+        # Arrow garbage; without an explicit collection the FIRST query
+        # after it pays 3-6x in GC churn (measured 74s -> 24s -> 12s warm
+        # for the same query). A real cluster would run queries on fresh
+        # executors; this models that without restarting the JVM.
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(2)
         queries = bench_queries(spark, names)
         result = {
             "metric": "headline_queries_total",
