@@ -979,17 +979,26 @@ def sorted_columns(spark: SparkSession, path: str) -> DataFrame:
     """Columns whose per-page [min, max] ranges never overlap when pages
     are ordered by (part_key, page_id) — the reference's sortedness
     *detection* (``sorted_partitioned_columns``, api.py:1287-1327).
-    String-rendered stats ⇒ detection is for string columns."""
+    Strings compare via min_s/max_s, numerics (ints, floats, timestamps,
+    dates) via the typed min_num/max_num bounds; columns with neither kind
+    of stats report not-sorted."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("column").orderBy("part_key", "page_id")
     s = (read_blocks(spark, path)
-         .select("part_key", "page_id", "column", "min_s", "max_s")
-         .withColumn("prev_max", F.lag("max_s").over(w)))
+         .select("part_key", "page_id", "column", "dtype_id",
+                 "min_s", "max_s", "min_num", "max_num")
+         .withColumn("prev_max_s", F.lag("max_s").over(w))
+         .withColumn("prev_max_n", F.lag("max_num").over(w)))
+    is_str = F.col("dtype_id") == enc.DT_STRING
+    is_num = F.col("dtype_id").isin(list(_NUMERIC_DTS))
+    ok = (F.when(is_str, F.col("prev_max_s").isNull()
+                 | (F.col("min_s") >= F.col("prev_max_s")))
+          .when(is_num, F.col("prev_max_n").isNull()
+                | (F.col("min_num") >= F.col("prev_max_n")))
+          .otherwise(F.lit(False)))
     return (s.groupBy("column")
-            .agg((F.sum(F.when((F.col("prev_max").isNull())
-                               | (F.col("min_s") >= F.col("prev_max")), 0)
-                        .otherwise(1)) == 0).alias("is_sorted")))
+            .agg((F.sum(F.when(ok, 0).otherwise(1)) == 0).alias("is_sorted")))
 
 
 def update_store_metadata(path: str, updates: dict) -> dict:

@@ -33,6 +33,33 @@ def test_sorted_detection(spark, store):
     df = cg.code_table(spark, 600, partitions=2)
 
 
+def test_sorted_detection_numeric(spark, tmp_path):
+    """r2: sortedness detection uses the typed numeric bounds too — a
+    monotonically laid-out int/timestamp column reports sorted, a shuffled
+    one doesn't (reference sorted_partitioned_columns, api.py:1287-1327)."""
+    import pandas as pd
+
+    n = 3000
+    pdf = pd.DataFrame({
+        "repo": ["r"] * n,
+        "path": [str(i) for i in range(n)],
+        "commit": ["0"] * n,
+        "seq": range(n),
+        "when": pd.to_datetime("2000-01-01")
+                + pd.to_timedelta(range(n), unit="h"),
+        "noise": [(i * 7919) % n for i in range(n)],
+    })
+    path = str(tmp_path / "numsort")
+    # one part (single packed bucket), several 1024-row pages in row order
+    df = spark.createDataFrame(pdf).coalesce(1)
+    pl.run_encode(df, path, columns=["seq", "when", "noise"],
+                  target_rows=5000, page_bytes=1, resume=False)
+    sc = pl.sorted_columns(spark, path).toPandas().set_index(
+        "column")["is_sorted"]
+    assert sc["seq"] and sc["when"]
+    assert not sc["noise"]
+
+
 def test_custom_metadata_roundtrip(store):
     meta = pl.update_store_metadata(store, {"owner": "pqs", "v": 1})
     assert meta == {"owner": "pqs", "v": 1}
