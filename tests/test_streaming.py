@@ -70,3 +70,57 @@ def test_windowed_metrics_batch_semantics(spark):
     pdf = out.toPandas()
     assert pdf.n_events.sum() == events.count()
     assert (pdf.window_end > pdf.window_start).all()
+
+
+def test_stream_dedup_stateful(spark, tmp_path):
+    """applyInPandasWithState cross-batch dedup: state (keep_id, copies)
+    per content hash survives micro-batches; duplicates arriving later
+    produce update rows with first_seen=0 and the ORIGINAL keep_id."""
+    import pandas as pd
+
+    from parquet_python_spark.streaming import stateful
+
+    src_dir = str(tmp_path / "sd_src")
+    ckpt = str(tmp_path / "sd_ckpt")
+
+    batch1 = pd.DataFrame({
+        "doc_id": [10, 11, 12, 13],
+        "text": ["aaa", "bbb", "aaa", "ccc"],   # aaa duplicated in-batch
+    })
+    spark.createDataFrame(batch1).coalesce(1).write.mode(
+        "overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    def run_once(name):
+        collected = []
+
+        def sink(batch_df, batch_id):
+            collected.append(batch_df.toPandas())
+
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "8").parquet(src_dir))
+        q = (stateful.stream_dedup(stream).writeStream
+             .foreachBatch(sink).outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return (pd.concat(collected, ignore_index=True) if collected
+                else pd.DataFrame(columns=["text_sha", "keep_id",
+                                           "n_new_copies", "first_seen"]))
+
+    out1 = run_once("sd1")
+    assert (out1.first_seen == 1).all()
+    got = out1.set_index(out1.keep_id)
+    assert set(out1.keep_id) == {10, 11, 13}
+    assert int(out1[out1.keep_id == 10].n_new_copies.iloc[0]) == 2
+
+    # batch 2: another copy of 'aaa' and one new content
+    batch2 = pd.DataFrame({"doc_id": [20, 21], "text": ["aaa", "ddd"]})
+    spark.createDataFrame(batch2).coalesce(1).write.mode(
+        "append").parquet(src_dir)
+    out2 = run_once("sd2")
+    dup = out2[out2.first_seen == 0]
+    new = out2[out2.first_seen == 1]
+    assert len(dup) == 1 and int(dup.keep_id.iloc[0]) == 10, \
+        "replayed content must keep the original representative"
+    assert len(new) == 1 and int(new.keep_id.iloc[0]) == 21
