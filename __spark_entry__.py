@@ -475,6 +475,9 @@ def oracle_sql() -> dict[str, str]:
         "token_count": r"""
             SELECT doc_id,
                    len(regexp_extract_all(text, '\S+'))::INT AS n_tokens,
+                   len(regexp_extract_all(text,
+                       ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'))::INT
+                       AS n_bpe_tokens,
                    length(text)::INT AS n_chars_len
             FROM documents""",
         "quality_score": r"""

@@ -16,14 +16,20 @@ from pyspark.sql import DataFrame, functions as F
 
 TOKEN_RE = r"\S+"
 WORD_RE = "[a-z0-9]+"
+# GPT-2-style pre-tokenizer shape WITHOUT lookahead (RE2-compatible, so
+# the DuckDB oracle runs the identical pattern): optional leading space +
+# letter run / digit run / punctuation run, else whitespace run
+BPE_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
 STOPWORDS = ("the", "a", "and", "of", "in", "to")
 
 
 def token_counts(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Whitespace token counting (BPE-ish pre-tokenization proxy)."""
+    """Token counting: whitespace tokens plus a BPE-ish pre-tokenization
+    count (the statistic a training-data pipeline budgets by)."""
     return df.select(
         F.col(id_col),
         F.size(F.regexp_extract_all(F.col(col), F.lit(TOKEN_RE), 0)).alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.col(col), F.lit(BPE_RE), 0)).alias("n_bpe_tokens"),
         F.length(col).alias("n_chars_len"),
     )
 
