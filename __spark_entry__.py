@@ -44,7 +44,11 @@ DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
 
 
 def _doc_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return pl.encode_table(_doc_source(spark, sf_dir), columns=DOC_COLS)
+    # persist: decode consumes lazy blocks more than once (schema
+    # inference collect, optional stats pruning, decode) — without it the
+    # encode re-runs per consumer
+    return pl.encode_table(_doc_source(spark, sf_dir),
+                           columns=DOC_COLS).persist()
 
 
 def _events_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -100,13 +104,14 @@ def q_roundtrip_sha_gzip(spark, sf_dir):
     GZIP on every block (registry parity: fastparquet compression.py:8-74;
     SNAPPY/ZSTD/LZ4 gate on optional libs absent from this container)."""
     blocks = pl.encode_table(_doc_source(spark, sf_dir), columns=DOC_COLS,
-                             compression="GZIP")
+                             compression="GZIP").persist()
     decoded = pl.decode_blocks(blocks, columns=["doc_id", "text"])
     return decoded.select("doc_id", F.sha2(F.col("text"), 256).alias("sha"))
 
 
 def q_roundtrip_events(spark, sf_dir):
-    blocks = pl.encode_table(_events_source(spark, sf_dir), columns=EVENT_COLS)
+    blocks = pl.encode_table(_events_source(spark, sf_dir),
+                             columns=EVENT_COLS).persist()
     d = pl.decode_blocks(blocks)
     return d.select(
         "event_id",
@@ -193,7 +198,8 @@ def q_roundtrip_embeddings(spark, sf_dir):
            .withColumn("repo", (F.col("vec_id") % 5).cast("string"))
            .withColumn("path", F.col("vec_id").cast("string"))
            .withColumn("commit", F.lit("0")))
-    blocks = pl.encode_table(src, columns=["vec_id", "embedding", "label"])
+    blocks = pl.encode_table(src,
+                             columns=["vec_id", "embedding", "label"]).persist()
     d = pl.decode_blocks(blocks)
     return d.select("vec_id", "label",
                     F.posexplode("embedding").alias("idx", "val"))
@@ -247,7 +253,7 @@ def q_roundtrip_props_map(spark, sf_dir):
     the driver canonicalizer."""
     src = (_events_source(spark, sf_dir)
            .withColumn("props_map", F.from_json("props", "map<string,int>")))
-    blocks = pl.encode_table(src, columns=["event_id", "props_map"])
+    blocks = pl.encode_table(src, columns=["event_id", "props_map"]).persist()
     d = pl.decode_blocks(blocks)
     return d.select("event_id", F.explode("props_map").alias("mkey", "mval"))
 

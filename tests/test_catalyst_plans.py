@@ -82,6 +82,19 @@ def test_shingle_generation_is_shuffle_free(spark):
     assert all("roundrobin" in e.lower() for e in exchanges), exchanges
 
 
+def test_entry_roundtrip_queries_cache_blocks(spark):
+    """Encode-then-decode queries must persist the lazy blocks: decode
+    consumes them 2-3x (schema inference, pruning, decode) and without a
+    cache the whole encode re-runs each time (r2 regression guard —
+    measured 3x wall time on q1)."""
+    import __spark_entry__ as e
+
+    for q in (e.q_roundtrip_sha, e.q_q1_pricing_decoded):
+        plan = _plan(q(spark, "/root/testdata/sf0.001"))
+        assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan, \
+            q.__name__
+
+
 def test_encode_has_single_data_shuffle(spark):
     df = cg.code_table(spark, 300, partitions=2)
     # with a precomputed plan, the fact table crosses exactly ONE exchange
