@@ -243,3 +243,43 @@ def test_per_column_compression_dict(spark, code_df, tmp_path):
     assert all(v == "UNCOMPRESSED" for c, v in got.items() if c != "content")
     res = pl.verify_roundtrip(code_df, pl.decode_blocks(blocks))
     assert res["ok"], res
+
+
+def test_encode_table_local_matches_shuffled(spark, code_df, tmp_path):
+    """Shuffle-encoded strategy: identical decoded rows and row-hash
+    lineage as the raw-shuffle strategy, with ZERO raw-data exchange in
+    the physical plan (only the already-encoded blocks ever move)."""
+    plan_df = part.plan_splits(code_df, 500)
+    assigned = part.assign_part_keys(code_df, plan_df)
+    a = pl.encode_table(assigned.select(code_df.columns + ["part_key"]))
+    b = pl.encode_table_local(assigned.select(code_df.columns + ["part_key"]))
+    # no hash shuffle of the FACT table in the local strategy — only the
+    # tiny per-repo plan aggregate may exchange (same allowance as
+    # test_encode_has_single_data_shuffle), plus the plan broadcast
+    import re
+    plan_str = b._jdf.queryExecution().executedPlan().toString()
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan_str)
+    assert all("repo" in k for k in keys), keys
+    assert "hashpartitioning(part_key" not in plan_str, plan_str
+    dec_a = pl.decode_blocks(a)
+    dec_b = pl.decode_blocks(b)
+    assert dec_b.exceptAll(dec_a).count() == 0
+    assert dec_a.exceptAll(dec_b).count() == 0
+    # order-independent lineage row hashes agree per part
+    la = pl.lineage_from_blocks(a).select("part_key", "n_rows", "row_hash")
+    lb = pl.lineage_from_blocks(b).select("part_key", "n_rows", "row_hash")
+    assert la.exceptAll(lb).count() == 0 and lb.exceptAll(la).count() == 0
+
+
+def test_encode_table_local_roundtrip_store(spark, tmp_path):
+    src = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+           .withColumn("repo", F.col("source"))
+           .withColumn("path", F.col("doc_id").cast("string"))
+           .withColumn("commit", F.lit("0")))
+    cols = ["doc_id", "text", "lang"]
+    blocks = pl.encode_table_local(
+        part.with_partition_plan(src, 200), columns=cols)
+    store = str(tmp_path / "localstore")
+    pl.write_blockstore(blocks, store, mode="append")
+    dec = pl.decode_blocks(pl.read_blocks(spark, store))
+    assert pl.verify_roundtrip(src.select(*cols), dec)["ok"]
