@@ -699,6 +699,8 @@ def _commit_blocks_rewrite(spark: SparkSession, path: str,
     shutil.rmtree(f"{path}/blocks", ignore_errors=True)
     shutil.move(f"{tmp}/blocks", f"{path}/blocks")
     shutil.rmtree(tmp, ignore_errors=True)
+    # drop Spark's cached file listing for the swapped directory
+    spark.catalog.refreshByPath(f"{path}/blocks")
     written = spark.read.parquet(f"{path}/blocks")
     lineage_from_blocks(written).write.mode("overwrite").parquet(f"{path}/lineage")
     agg = read_lineage(spark, path).agg(
@@ -754,6 +756,52 @@ def remove_repos(spark: SparkSession, path: str, repos: list[str],
     kept = blocks.join(F.broadcast(aff_keys), "part_key", "left_anti")
     merged = kept if new_blocks is None else kept.unionByName(new_blocks)
     return _commit_blocks_rewrite(spark, path, merged)
+
+
+def compact_store(spark: SparkSession, path: str,
+                  max_pages_per_column: int = 8,
+                  target_rows: int = part.DEFAULT_TARGET_ROWS,
+                  page_bytes: int = DEFAULT_PAGE_BYTES,
+                  compression: str = "UNCOMPRESSED") -> dict:
+    """Re-encode fragmented parts whole — the LSM/Iceberg compaction step
+    that pairs with the shuffle-encoded ingest strategy: ``strategy=
+    "local"`` lands sub-blocks fast (no raw shuffle), compaction later
+    restores the whole-part compression ratio off the ingest path.
+
+    A part is fragmented when any column holds more than
+    ``max_pages_per_column`` pages; those parts are decoded (the ONLY
+    shuffle is of their encoded bytes), re-encoded under the same
+    part_key, and swapped in.  Untouched parts are copied as raw blocks.
+    Returns {'parts_compacted', 'enc_bytes_before', 'enc_bytes_after'}.
+    """
+    blocks = read_blocks(spark, path)
+    frag_keys = [r["part_key"] for r in
+                 (blocks.groupBy("part_key", "column")
+                  .agg(F.countDistinct("page_id").alias("np"))
+                  .groupBy("part_key").agg(F.max("np").alias("np"))
+                  .where(F.col("np") > max_pages_per_column)
+                  .select("part_key").collect())]
+    if not frag_keys:
+        return {"parts_compacted": 0, "enc_bytes_before": 0,
+                "enc_bytes_after": 0}
+    # materialized keys: every later consumer must not re-scan the
+    # pre-rewrite file listing after the directory swap
+    frag = spark.createDataFrame([(int(k),) for k in frag_keys],
+                                 "part_key long")
+    aff = blocks.join(F.broadcast(frag), "part_key", "left_semi")
+    before = aff.agg(F.coalesce(F.sum("encoded_size"), F.lit(0))).collect()[0][0]
+    n_parts = len(frag_keys)
+    rows = decode_blocks(aff, keep_part_key=True)
+    cols = [c for c in rows.columns if c not in _HELPER_COLS]
+    new_blocks = encode_table(rows, cols, target_rows, page_bytes,
+                              compression)
+    kept = blocks.join(F.broadcast(frag), "part_key", "left_anti")
+    _commit_blocks_rewrite(spark, path, kept.unionByName(new_blocks))
+    after = (read_blocks(spark, path)
+             .join(F.broadcast(frag), "part_key", "left_semi")
+             .agg(F.coalesce(F.sum("encoded_size"), F.lit(0))).collect()[0][0])
+    return {"parts_compacted": int(n_parts),
+            "enc_bytes_before": int(before), "enc_bytes_after": int(after)}
 
 
 def merge_stores(spark: SparkSession, paths: list[str], out_path: str) -> dict:

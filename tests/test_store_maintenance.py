@@ -78,3 +78,24 @@ def test_remove_repos_shared_bucket(spark, tmp_path):
     dec = pl.decode_blocks(pl.read_blocks(spark, store))
     assert pl.verify_roundtrip(want.select(*cols), dec)["ok"]
     assert dec.where(F.col("repo") == "2").count() == 0
+
+
+def test_compact_restores_whole_part_ratio(spark, tmp_path):
+    """local-strategy ingest fragments parts into per-source-partition
+    sub-blocks (fast, no raw shuffle); compact_store re-encodes them whole
+    and must shrink the store while preserving every row."""
+    store = str(tmp_path / "compact")
+    df = cg.code_table(spark, 3000, partitions=8).cache()
+    pl.run_encode(df, store, target_rows=1500, resume=False,
+                  strategy="local")
+    blocks = pl.read_blocks(spark, store)
+    frag_pages = (blocks.groupBy("part_key", "column")
+                  .agg(F.countDistinct("page_id").alias("np"))
+                  .agg(F.max("np")).collect()[0][0])
+    assert frag_pages > 4, "local strategy should fragment pages"
+    res = pl.compact_store(spark, store, max_pages_per_column=4)
+    assert res["parts_compacted"] > 0
+    assert res["enc_bytes_after"] < res["enc_bytes_before"]
+    dec = pl.decode_blocks(pl.read_blocks(spark, store))
+    assert pl.verify_roundtrip(df, dec)["ok"]
+    df.unpersist()
