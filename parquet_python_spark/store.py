@@ -117,6 +117,10 @@ class BlockStore:
     def remove_parts(self, part_keys: list[int]) -> dict:
         return pl.remove_parts(self.spark, self.path, part_keys)
 
+    def compact(self, max_pages_per_column: int = 8) -> dict:
+        return pl.compact_store(self.spark, self.path,
+                                max_pages_per_column=max_pages_per_column)
+
     def remove_repos(self, repos: list[str]) -> dict:
         return pl.remove_repos(self.spark, self.path, repos)
 
