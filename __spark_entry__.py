@@ -346,10 +346,9 @@ def q_codec_choices(spark, sf_dir):
 
 
 def q_winnow_fingerprint(spark, sf_dir):
-    # exploded to (doc_id, fp) scalar rows: the driver's rows-only check
-    # canonicalizes by sorting values, which an array column can't do
-    return (text.winnow_fingerprints(_documents(spark, sf_dir))
-            .select("doc_id", F.explode("fingerprints").alias("fp")))
+    # md5-based k-gram hashes (r2): scalar (doc_id, fp) rows with an exact
+    # DuckDB oracle — r1's pandas-hash variant was rows-only-checkable
+    return text.winnow_fingerprints(_documents(spark, sf_dir))
 
 
 def q_media_features(spark, sf_dir):
@@ -555,6 +554,29 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c.a, c.b
             HAVING round(SUM(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END)::DOUBLE
                          / 8, 3) >= 0.25""",
+        "winnow_fingerprint": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              FROM documents),
+            kg0 AS (
+              SELECT doc_id, len(t) - 4 AS m,
+                     unnest(list_transform(
+                       range(1, greatest(len(t) - 4, 0) + 1),
+                       i -> {'pos': i,
+                             'h': md5(t[i] || ' ' || t[i+1] || ' ' ||
+                                      t[i+2] || ' ' || t[i+3] || ' ' ||
+                                      t[i+4])})) AS u
+              FROM toks WHERE len(t) >= 5),
+            kg AS (SELECT doc_id, m, u.pos AS pos, u.h AS h FROM kg0),
+            win AS (
+              SELECT doc_id, pos, m,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                         AS mh
+              FROM kg)
+            SELECT DISTINCT doc_id, mh AS fp FROM win
+            WHERE pos <= greatest(m - 3, 1)""",
         "simhash_pairs": """
             WITH toks AS (
               SELECT doc_id,

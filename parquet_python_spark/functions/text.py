@@ -87,26 +87,24 @@ def fingerprints(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> Da
 
 # ------------------------------------------------------- winnowing (UDF path)
 
-def _rolling_hashes(toks: np.ndarray, k: int) -> np.ndarray:
-    """k-gram hashes from per-token hashes via a vectorized window-combine."""
-    if len(toks) < k:
-        return np.zeros(0, dtype=np.uint64)
-    # combine k consecutive token-hashes with distinct per-offset multipliers
-    out = np.zeros(len(toks) - k + 1, dtype=np.uint64)
-    for j in range(k):  # k iterations (k~5), each vectorized over all rows
-        out ^= toks[j:len(toks) - k + 1 + j] * np.uint64(0x9E3779B97F4A7C15 + 2 * j + 1)
-    return out
-
-
 def winnow_fingerprints(df: DataFrame, col: str = "text", id_col: str = "doc_id",
                         k: int = 5, window: int = 4) -> DataFrame:
-    """Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03) fingerprints: min
-    hash per sliding window of k-gram hashes.  Arrow-batched ``mapInPandas``
-    — per-batch numpy, no per-row Python."""
-    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+    """Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03) fingerprints: the
+    minimum hash of each sliding window of ``window`` consecutive k-gram
+    hashes, deduplicated per document.
+
+    k-gram hash = md5 of the space-joined k tokens — engine-portable, so
+    a DuckDB oracle reproduces the fingerprints exactly (r1 used pandas'
+    hash_pandas_object: unverifiable and pandas-version-tied).  The
+    sliding-window minimum runs as vectorized np.minimum folds over the
+    per-batch hash array; the only per-item Python is the md5 call
+    itself.  Output: one (doc, fp) row per distinct selected hash."""
+    import hashlib
+
+    from pyspark.sql.types import StringType, StructField, StructType
     schema = StructType([
-        StructField(id_col, LongType()),
-        StructField("fingerprints", ArrayType(LongType())),
+        StructField(id_col, df.schema[id_col].dataType),
+        StructField("fp", StringType()),
     ])
 
     def run(batches):
@@ -114,25 +112,38 @@ def winnow_fingerprints(df: DataFrame, col: str = "text", id_col: str = "doc_id"
             texts = pdf[col].fillna("")
             split = texts.str.lower().str.findall(WORD_RE)
             lens = split.str.len().to_numpy()
-            flat = pd.Series(np.concatenate(split.to_numpy()) if lens.sum() else [],
-                             dtype=object)
-            # deterministic vectorized 64-bit token hashes (fixed hash_key)
-            th_all = pd.util.hash_pandas_object(flat, index=False).to_numpy()
-            offsets = np.zeros(len(pdf) + 1, dtype=np.int64)
-            np.cumsum(lens, out=offsets[1:])
-            fps = []
-            for i in range(len(pdf)):  # per-doc loop over numpy slices only
-                th = th_all[offsets[i]:offsets[i + 1]]
-                kg = _rolling_hashes(th, k)
-                if len(kg) == 0:
-                    sel = np.zeros(0, dtype=np.uint64)
-                elif len(kg) <= window:
-                    sel = np.array([kg.min()], dtype=np.uint64)
+            total = int(lens.sum())
+            if total < k:
+                continue
+            flat = np.concatenate(split.to_numpy()).astype(object)
+            doc_idx = np.repeat(np.arange(len(pdf)), lens)
+            ids = pdf[id_col].to_numpy()
+            m = total - k + 1
+            # k-gram start is valid when all k tokens share a document
+            valid = doc_idx[:m] == doc_idx[k - 1:]
+            kg = flat[:m]
+            for j in range(1, k):
+                kg = kg + " "
+                kg = kg + flat[j:m + j]
+            h = np.array([hashlib.md5(s.encode()).hexdigest()
+                          for s in kg], dtype=object)
+            kdoc = doc_idx[:m]
+            out_ids, out_fps = [], []
+            for i in range(len(pdf)):  # numpy slices per doc
+                hs = h[(kdoc == i) & valid]
+                mc = len(hs)
+                if mc == 0:
+                    continue
+                if mc <= window:
+                    sel = np.array([hs.min()], dtype=object)
                 else:
-                    w = np.lib.stride_tricks.sliding_window_view(kg, window)
-                    sel = np.unique(w.min(axis=1))
-                fps.append(sel.astype(np.int64).tolist())
-            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "fingerprints": fps})
+                    win = hs[:mc - window + 1]
+                    for j in range(1, window):  # vectorized min folds
+                        win = np.minimum(win, hs[j:mc - window + 1 + j])
+                    sel = np.unique(win)
+                out_ids.extend([ids[i]] * len(sel))
+                out_fps.extend(sel.tolist())
+            yield pd.DataFrame({id_col: out_ids, "fp": out_fps})
 
     from ._parallel import ensure_parallelism
 

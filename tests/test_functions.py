@@ -55,10 +55,10 @@ def test_simhash_near_pairs(spark, docs):
 
 
 def test_winnow_fingerprints_overlap(spark, docs):
-    fp = text.winnow_fingerprints(docs).toPandas().set_index("doc_id")
-    s0, s1, s3 = (set(fp.loc[i, "fingerprints"]) for i in (0, 1, 3))
-    assert s0 == s1
-    assert not (s0 & s3)
+    fp = text.winnow_fingerprints(docs).toPandas()
+    by_doc = fp.groupby("doc_id")["fp"].apply(set)
+    assert by_doc[0] == by_doc[1]
+    assert not (by_doc[0] & by_doc[3])
 
 
 def test_cosine_topk_exact_neighbor(spark):
