@@ -57,9 +57,10 @@ def shingles(df: DataFrame, col: str = "text", id_col: str = "doc_id",
     (stopword-like n-grams that would otherwise quadratically blow up the
     similarity join on a skewed corpus).
     """
-    import numpy as np
     import pandas as pd
     from pyspark.sql.types import StringType, StructField, StructType
+
+    from ._ngrams import flat_ngrams
 
     id_type = df.schema[id_col].dataType
     schema = StructType([StructField(id_col, id_type),
@@ -67,24 +68,12 @@ def shingles(df: DataFrame, col: str = "text", id_col: str = "doc_id",
 
     def run(batches):
         for pdf in batches:
-            split = pdf[col].fillna("").str.lower().str.findall(WORD_RE)
-            lens = split.str.len().to_numpy()
-            total = int(lens.sum())
-            if total < n:
+            got = flat_ngrams(pdf, col, n, WORD_RE)
+            if got is None:
                 continue
-            # object dtype: elementwise python-str concat (a fixed-width
-            # <U array would reject the ufunc and copy-pad every widen)
-            flat = np.concatenate(split.to_numpy()).astype(object)
-            doc_idx = np.repeat(np.arange(len(pdf)), lens)
-            m = total - n + 1
-            # a start is valid when all n tokens fall in the same document
-            valid = doc_idx[:m] == doc_idx[n - 1:]
-            sh = flat[:m]
-            for j in range(1, n):  # n-1 vectorized object-string concats
-                sh = sh + " "
-                sh = sh + flat[j:m + j]
+            doc_idx, sh, valid = got
             out = pd.DataFrame({
-                id_col: pdf[id_col].to_numpy()[doc_idx[:m][valid]],
+                id_col: pdf[id_col].to_numpy()[doc_idx[valid]],
                 "shingle": sh[valid],
             }).drop_duplicates()
             yield out

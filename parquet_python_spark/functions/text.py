@@ -107,30 +107,24 @@ def winnow_fingerprints(df: DataFrame, col: str = "text", id_col: str = "doc_id"
         StructField("fp", StringType()),
     ])
 
+    from ._ngrams import flat_ngrams
+
     def run(batches):
         for pdf in batches:
-            texts = pdf[col].fillna("")
-            split = texts.str.lower().str.findall(WORD_RE)
-            lens = split.str.len().to_numpy()
-            total = int(lens.sum())
-            if total < k:
+            got = flat_ngrams(pdf, col, k, WORD_RE)
+            if got is None:
                 continue
-            flat = np.concatenate(split.to_numpy()).astype(object)
-            doc_idx = np.repeat(np.arange(len(pdf)), lens)
+            kdoc, kg, valid = got
             ids = pdf[id_col].to_numpy()
-            m = total - k + 1
-            # k-gram start is valid when all k tokens share a document
-            valid = doc_idx[:m] == doc_idx[k - 1:]
-            kg = flat[:m]
-            for j in range(1, k):
-                kg = kg + " "
-                kg = kg + flat[j:m + j]
             h = np.array([hashlib.md5(s.encode()).hexdigest()
                           for s in kg], dtype=object)
-            kdoc = doc_idx[:m]
             out_ids, out_fps = [], []
+            # kdoc is sorted (np.repeat of arange): searchsorted slices
+            # each doc in O(log n) instead of a full boolean mask per doc
+            starts = np.searchsorted(kdoc, np.arange(len(pdf)))
+            ends = np.searchsorted(kdoc, np.arange(len(pdf)), side="right")
             for i in range(len(pdf)):  # numpy slices per doc
-                hs = h[(kdoc == i) & valid]
+                hs = h[starts[i]:ends[i]][valid[starts[i]:ends[i]]]
                 mc = len(hs)
                 if mc == 0:
                     continue

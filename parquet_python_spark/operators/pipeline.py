@@ -55,7 +55,7 @@ BLOCKS_SCHEMA = StructType([
     StructField("part_key", LongType(), False),
     StructField("repo", StringType(), True),
     StructField("split_id", IntegerType(), True),
-    StructField("page_id", IntegerType(), False),
+    StructField("page_id", LongType(), False),  # composed ids (local strategy)
     StructField("col_idx", IntegerType(), False),
     StructField("column", StringType(), False),
     StructField("codec", StringType(), False),
@@ -186,7 +186,7 @@ def _minmax_num(arr: pa.Array, dt: int) -> tuple[float | None, float | None]:
 
 _ARROW_BLOCKS_SCHEMA = pa.schema([
     ("part_key", pa.int64()), ("repo", pa.string()), ("split_id", pa.int32()),
-    ("page_id", pa.int32()), ("col_idx", pa.int32()), ("column", pa.string()),
+    ("page_id", pa.int64()), ("col_idx", pa.int32()), ("column", pa.string()),
     ("codec", pa.string()), ("compression", pa.string()),
     ("dtype_id", pa.int32()), ("n_values", pa.int64()),
     ("n_nulls", pa.int64()), ("raw_size", pa.int64()),
@@ -361,6 +361,20 @@ def reassemble_structs(df: DataFrame) -> DataFrame:
     return df.select(*build("", list(df.columns)))
 
 
+def _with_row_hash(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Order-independent row integrity hash, computed JVM-side pre-encode.
+    Maps are hashed via their sorted entry list (Spark refuses raw maps —
+    entry order is unspecified); backticks keep flattened struct paths
+    (literal dots) from parsing as field access."""
+    from pyspark.sql.types import MapType
+
+    hash_cols = [
+        F.array_sort(F.map_entries(F.col(f"`{c}`")))
+        if isinstance(df.schema[c].dataType, MapType) else F.col(f"`{c}`")
+        for c in cols]
+    return df.withColumn("_row_hash", F.xxhash64(*hash_cols))
+
+
 def encode_table(df: DataFrame, columns: list[str] | None = None,
                  target_rows: int = part.DEFAULT_TARGET_ROWS,
                  page_bytes: int = DEFAULT_PAGE_BYTES,
@@ -381,14 +395,7 @@ def encode_table(df: DataFrame, columns: list[str] | None = None,
     # order-independent row integrity hash, computed JVM-side pre-shuffle.
     # Spark (correctly) refuses to hash MAP columns — entry order is
     # unspecified — so maps are hashed via their sorted entry list.
-    from pyspark.sql.types import MapType
-
-    # backticks: flattened struct paths contain literal dots
-    hash_cols = [
-        F.array_sort(F.map_entries(F.col(f"`{c}`")))
-        if isinstance(df.schema[c].dataType, MapType) else F.col(f"`{c}`")
-        for c in cols]
-    df = df.withColumn("_row_hash", F.xxhash64(*hash_cols))
+    df = _with_row_hash(df, cols)
     fn = make_encode_group(cols, page_bytes, compression)
     return df.groupBy("part_key").applyInArrow(fn, BLOCKS_SCHEMA)
 
@@ -421,22 +428,17 @@ def encode_table_local(df: DataFrame, columns: list[str] | None = None,
     df, cols = _flatten_structs(df, cols)
     if "part_key" not in df.columns:
         df = part.with_partition_plan(df, target_rows, plan=plan)
-    from pyspark.sql.types import MapType
-
-    hash_cols = [
-        F.array_sort(F.map_entries(F.col(f"`{c}`")))
-        if isinstance(df.schema[c].dataType, MapType) else F.col(f"`{c}`")
-        for c in cols]
-    df = df.withColumn("_row_hash", F.xxhash64(*hash_cols))
+    df = _with_row_hash(df, cols)
     group_fn = make_encode_group(cols, page_bytes, compression)
 
     def encode_partition(batches):
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        tbl = pa.Table.from_batches(list(batches))
-        if tbl.num_rows == 0:
+        batch_list = [b for b in batches if b.num_rows]
+        if not batch_list:  # empty partitions invoke the UDF with no batches
             return
+        tbl = pa.Table.from_batches(batch_list)
         keys = np.asarray(tbl["part_key"].combine_chunks(), dtype=np.int64)
         order = np.argsort(keys, kind="stable")
         sorted_tbl = tbl.take(pa.array(order))
@@ -450,11 +452,11 @@ def encode_table_local(df: DataFrame, columns: list[str] | None = None,
             if out.num_rows == 0:
                 continue
             # compose page ids so pages from different source partitions
-            # never collide and sort deterministically at decode
+            # never collide and sort deterministically at decode; int64
+            # page ids keep the composition exact at any partition count
             pages = np.asarray(out["page_id"].combine_chunks(),
                                dtype=np.int64)
-            new_pages = pa.array((pid * 100_000 + pages).astype(np.int32),
-                                 type=pa.int32())
+            new_pages = pa.array(pid * 1_000_000 + pages, type=pa.int64())
             idx = out.schema.get_field_index("page_id")
             yield from out.set_column(idx, "page_id", new_pages).to_batches()
 
@@ -510,11 +512,27 @@ def write_blockstore(blocks: DataFrame, path: str, mode: str = "append") -> None
                 raise
     if old is not None:
         # materialize the (tiny) old lineage driver-side before overwriting
-        # the directory it was read from
+        # the directory it was read from.  Overlapping part_keys (a second
+        # append touching an existing part) COMBINE rollups rather than
+        # replace them, so n_rows / bytes / row_hash stay truthful to what
+        # decode returns (r2 review finding: replacement desynchronized
+        # lineage counts from the store).
         old_local = spark.createDataFrame(old.toPandas(), schema=old.schema)
-        merged = (old_local.join(new_lin.select("part_key"),
-                                 "part_key", "left_anti")
-                  .unionByName(new_lin))
+        merged = (old_local.unionByName(new_lin)
+                  .groupBy("part_key")
+                  .agg(F.max("repo").alias("repo"),
+                       F.max("split_id").alias("split_id"),
+                       F.sum("n_pages").alias("n_pages"),
+                       F.sum("n_blocks").alias("n_blocks"),
+                       F.sum("raw_bytes").alias("raw_bytes"),
+                       F.sum("enc_bytes").alias("enc_bytes"),
+                       F.sum("encode_ms").alias("encode_ms"),
+                       F.expr("aggregate(collect_list(row_hash), 0L, "
+                              "(a, x) -> a ^ x)").alias("row_hash"),
+                       F.array_sort(F.array_distinct(
+                           F.flatten(F.collect_list("codecs")))).alias("codecs"),
+                       F.sum("n_rows").alias("n_rows"),
+                       F.max("status").alias("status")))
     else:
         merged = new_lin
     merged.write.mode("overwrite").parquet(f"{path}/lineage")
@@ -737,10 +755,18 @@ def remove_repos(spark: SparkSession, path: str, repos: list[str],
                 .select("part_key").distinct())
     blocks = read_blocks(spark, path)
     aff = blocks.join(F.broadcast(aff_keys), "part_key", "left_semi")
-    # parts wholly owned by a removed repo can drop without decode
-    mono = (aff.select("part_key", "repo").distinct()
-            .join(F.broadcast(repos_df), "repo", "left_semi")
-            .select("part_key"))
+    # a part may drop without decode only when EVERY block is labeled with
+    # a removed repo: local-strategy sub-blocks carry per-source-partition
+    # repo labels, so a shared bucket can hold repo-'2' AND repo-'3'
+    # sub-blocks — classifying on "has any removed label" would silently
+    # delete the other repos' rows (r2 review finding)
+    labels = aff.select("part_key", "repo").distinct()
+    removed_set = set(repos)
+    keep_label = (labels.where(
+        F.col("repo").isNull() | ~F.col("repo").isin(list(removed_set)))
+        .select("part_key").distinct())
+    mono = (labels.select("part_key").distinct()
+            .join(keep_label, "part_key", "left_anti"))
     shared = aff.join(F.broadcast(mono), "part_key", "left_anti")
     new_blocks = None
     if not shared.isEmpty():
@@ -840,14 +866,26 @@ def merge_stores(spark: SparkSession, paths: list[str], out_path: str) -> dict:
     written = spark.read.parquet(f"{out_path}/blocks")
     lineage_from_blocks(written).write.mode("overwrite").parquet(
         f"{out_path}/lineage")
-    # merged plan: first store wins per repo (future appends stay stable)
-    plans = [p for p in (load_plan(spark, s) for s in paths) if p is not None]
+    # merged plan: DETERMINISTICALLY first-store-wins per repo (future
+    # appends stay stable).  Caveat: if two stores planned the SAME repo
+    # differently (different target_rows eras), the loser's parts remain
+    # in the merged store but plan-driven maintenance (remove_repos) only
+    # sees the winner's keys — compact or re-encode such repos first.
+    plans = []
+    for i, s in enumerate(paths):
+        p = load_plan(spark, s)
+        if p is not None:
+            plans.append(p.withColumn("_src", F.lit(i)))
     if plans:
+        from pyspark.sql import Window
+
         all_plans = plans[0]
         for p in plans[1:]:
             all_plans = all_plans.unionByName(p)
-        all_plans.dropDuplicates(["repo"]).write.mode("overwrite").parquet(
-            f"{out_path}/plan")
+        w = Window.partitionBy("repo").orderBy("_src")
+        (all_plans.withColumn("_rn", F.row_number().over(w))
+         .where(F.col("_rn") == 1).drop("_rn", "_src")
+         .write.mode("overwrite").parquet(f"{out_path}/plan"))
     agg = read_lineage(spark, out_path).agg(
         F.count(F.lit(1)).alias("parts"), F.sum("n_rows").alias("rows")).collect()[0]
     return {"parts": agg["parts"], "rows": int(agg["rows"] or 0)}
@@ -915,6 +953,15 @@ def decode_blocks(blocks: DataFrame, columns: list[str] | None = None,
             per_col.setdefault(names[i], []).append((pages[i], i))
         data = {}
         for c, lst in per_col.items():
+            page_ids = [p for p, _ in lst]
+            if len(set(page_ids)) != len(page_ids):
+                # duplicate (column, page_id) pairs have NO consistent
+                # cross-column ordering — concatenating them risks silent
+                # row misalignment, so refuse loudly
+                raise ValueError(
+                    f"part has duplicate pages for column {c!r} — the same "
+                    "data was appended twice (use resume=True for retries, "
+                    "or merge_stores to consolidate overlapping stores)")
             arrs = [enc.decode_block(blocks_col[i].as_py())
                     for _, i in sorted(lst)]
             data[c] = pa.concat_arrays(arrs) if len(arrs) > 1 else arrs[0]
@@ -943,7 +990,8 @@ def _norm_filters(filters):
 
 _NUMERIC_DTS = (enc.DT_INT64, enc.DT_INT32, enc.DT_INT16, enc.DT_INT8,
                 enc.DT_BOOL, enc.DT_FLOAT64, enc.DT_FLOAT32,
-                enc.DT_TIMESTAMP_US, enc.DT_DATE32)
+                enc.DT_TIMESTAMP_US, enc.DT_DATE32,
+                enc.DT_UINT64, enc.DT_UINT32, enc.DT_UINT16, enc.DT_UINT8)
 
 
 def _prune_literals(v) -> dict:

@@ -99,3 +99,49 @@ def test_compact_restores_whole_part_ratio(spark, tmp_path):
     dec = pl.decode_blocks(pl.read_blocks(spark, store))
     assert pl.verify_roundtrip(df, dec)["ok"]
     df.unpersist()
+
+
+def test_remove_repos_local_strategy_preserves_other_repos(spark, tmp_path):
+    """r2 review finding: with strategy='local', a shared bucket holds
+    per-source-partition repo-LABELED sub-blocks; removal must not drop
+    other repos' sub-blocks just because one block carries the removed
+    label."""
+    store = str(tmp_path / "rrlocal")
+    df = _docs(spark, 0, 500).repartition("repo")  # repo-pure partitions
+    cols = ["repo"] + COLS
+    pl.run_encode(df, store, columns=cols, target_rows=200, resume=False,
+                  strategy="local")
+    res = pl.remove_repos(spark, store, ["2"])
+    want = df.where(F.col("repo") != "2")
+    assert res["rows"] == want.count()
+    dec = pl.decode_blocks(pl.read_blocks(spark, store))
+    assert pl.verify_roundtrip(want.select(*cols), dec)["ok"]
+    assert dec.where(F.col("repo") == "2").count() == 0
+
+
+def test_encode_local_tolerates_empty_partitions(spark):
+    """r2 review finding: mapInArrow invokes the UDF with an empty batch
+    iterator for empty partitions; the local strategy must no-op there."""
+    df = cg.code_table(spark, 50, partitions=2).repartition(16)
+    from parquet_python_spark.plans import partitioning as part
+
+    assigned = part.with_partition_plan(df, 100)
+    blocks = pl.encode_table_local(assigned)
+    dec = pl.decode_blocks(blocks)
+    assert pl.verify_roundtrip(df, dec)["ok"]
+
+
+def test_double_append_lineage_combines_and_decode_refuses(spark, tmp_path):
+    """r2 review finding: appending the same part_key twice COMBINES the
+    lineage rollups (counts stay truthful to the stored blocks), and
+    decode refuses the ambiguous duplicate pages loudly instead of
+    risking silent cross-column row misalignment."""
+    store = str(tmp_path / "dappend")
+    df = _docs(spark, 0, 200)
+    pl.run_encode(df, store, columns=COLS, target_rows=500, resume=False)
+    pl.run_encode(df, store, columns=COLS, target_rows=500, resume=False)
+    lin_rows = pl.read_lineage(spark, store).agg(
+        F.sum("n_rows")).collect()[0][0]
+    assert lin_rows == 400  # combined, not replaced
+    with pytest.raises(Exception, match="appended twice"):
+        pl.decode_blocks(pl.read_blocks(spark, store)).count()
