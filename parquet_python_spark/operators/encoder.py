@@ -44,11 +44,13 @@ LIST = 8         # list<primitive>: offsets + recursively-encoded child block
 MAP = 9          # map<k,v>: offsets + key block + value block
 DECFLOAT = 10    # pseudodecimal: floats that are exactly k-decimal
                  # fixed-point encode as scaled ints (child block)
+BSS = 11         # BYTE_STREAM_SPLIT: float byte planes (wins only under
+                 # block compression)
 
 CODEC_NAMES = {PLAIN: "plain", DICT: "dict", RLE_FOR: "rle", DELTA: "delta",
                BITPACK: "bitpack", FSST: "fsst", LINEDICT: "linedict",
                HEXPACK: "hexpack", LIST: "list", MAP: "map",
-               DECFLOAT: "decfloat"}
+               DECFLOAT: "decfloat", BSS: "bss"}
 CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
 
 # logical dtype ids
@@ -286,6 +288,12 @@ def _encode_values(arr: pa.Array, dt: int, codec: int) -> bytes:
         child = pa.array(ints, type=pa.int64())
         child_block = encode_block(child, selector.choose(child).codec)
         return np.int64(scale).tobytes() + child_block
+    if codec == BSS:
+        if dt not in (DT_FLOAT64, DT_FLOAT32):
+            raise TypeError("BYTE_STREAM_SPLIT is for float columns")
+        np_t = "<f8" if dt == DT_FLOAT64 else "<f4"
+        from ..kernels import bss
+        return bss.split(np.asarray(arr).astype(np_t))
     if codec == PLAIN:
         if dt in (DT_STRING, DT_BINARY):
             return plain.encode_strings(arr)
@@ -358,6 +366,10 @@ def _decode_values(raw: bytes, dt: int, codec: int, count: int) -> pa.Array:
         if dt == DT_FLOAT32:
             v = v.astype(np.float32)
         return pa.array(v, type=_DT_ARROW[dt])
+    if codec == BSS:
+        from ..kernels import bss
+        np_t = "<f8" if dt == DT_FLOAT64 else "<f4"
+        return pa.array(bss.unsplit(raw, np_t, count), type=_DT_ARROW[dt])
     if codec == PLAIN:
         if dt in (DT_STRING, DT_BINARY):
             return plain.decode_strings(raw, binary=(dt == DT_BINARY))

@@ -249,7 +249,8 @@ def make_encode_group(cols: list[str], page_bytes: int = DEFAULT_PAGE_BYTES,
                 hi = min(lo + rows_per_page, n)
                 arr = col.slice(lo, hi - lo)
                 t0 = time.perf_counter()
-                choice = selector.choose(arr)
+                choice = selector.choose(
+                    arr, compressed=comp_ids[c] != comp.UNCOMPRESSED)
                 blk = enc.encode_block(arr, choice.codec, comp_ids[c])
                 ms = (time.perf_counter() - t0) * 1000.0
                 mn, mx = _minmax_str(arr)

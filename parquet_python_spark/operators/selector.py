@@ -52,8 +52,11 @@ def _mean_run_len(v: np.ndarray) -> float:
     return len(v) / (changes + 1)
 
 
-def choose(arr: pa.Array, allow_fsst: bool = True) -> Choice:
-    """Pick a codec for one column chunk by predicted encoded size."""
+def choose(arr: pa.Array, allow_fsst: bool = True,
+           compressed: bool = False) -> Choice:
+    """Pick a codec for one column chunk by predicted encoded size.
+    ``compressed=True`` signals a downstream block codec: float columns
+    then also trial BYTE_STREAM_SPLIT, which only pays off post-compression."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     dt = enc.dtype_id_for_arrow(arr.type)
@@ -75,7 +78,7 @@ def choose(arr: pa.Array, allow_fsst: bool = True) -> Choice:
     if dt == enc.DT_BOOL:
         return Choice(enc.BITPACK, dt, n, {"width": 1})
     if dt in (enc.DT_FLOAT64, enc.DT_FLOAT32):
-        return _choose_float(samp, vals, dt, n)
+        return _choose_float(samp, vals, dt, n, compressed)
     return _choose_int(samp, vals, dt, n)
 
 
@@ -142,7 +145,8 @@ def _choose_string(samp: pa.Array, vals: pa.Array, dt: int, n: int, allow_fsst: 
     return Choice(codec, dt, n, metrics)
 
 
-def _choose_float(samp: pa.Array, vals: pa.Array, dt: int, n: int) -> Choice:
+def _choose_float(samp: pa.Array, vals: pa.Array, dt: int, n: int,
+                  compressed: bool = False) -> Choice:
     k = len(samp)
     distinct = len(pa.compute.unique(samp))
     itemsize = 8 if dt == enc.DT_FLOAT64 else 4
@@ -168,6 +172,19 @@ def _choose_float(samp: pa.Array, vals: pa.Array, dt: int, n: int) -> Choice:
             iw = bitpack.width_from_max(max(span, 1))
             metrics["dec_scale"] = full_scale
             sizes[enc.DECFLOAT] = n * iw / 8 + 17
+    if compressed and enc.DECFLOAT not in sizes:
+        # BYTE_STREAM_SPLIT has identical RAW size to PLAIN; it wins only
+        # through the downstream block codec, so rank the two by a sampled
+        # trial compression (same O(sample) budget as the FSST trial)
+        import zlib
+
+        from ..kernels import bss as bss_k
+        t = np.asarray(samp, dtype=np_t)[:2048]
+        gz_plain = len(zlib.compress(t.tobytes(), 1))
+        gz_bss = len(zlib.compress(bss_k.split(t), 1))
+        metrics["bss_gain"] = round(1 - gz_bss / max(gz_plain, 1), 4)
+        if gz_bss < gz_plain:
+            sizes[enc.BSS] = n * itemsize * gz_bss / max(gz_plain, 1)
     codec = min(sizes, key=sizes.get)
     metrics["predicted_sizes"] = {enc.CODEC_NAMES[c]: int(v) for c, v in sizes.items()}
     return Choice(codec, dt, n, metrics)

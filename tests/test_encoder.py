@@ -226,3 +226,39 @@ def test_decfloat_nulls():
     c = _sel.choose(arr)
     blk = _enc.encode_block(arr, c.codec)
     assert _enc.decode_block(blk).equals(arr)
+
+
+# ---------------------------------------------------------- BYTE_STREAM_SPLIT
+
+def test_bss_roundtrip_and_compression_gain():
+    """BYTE_STREAM_SPLIT (parquet encoding 9 — the reference lists it but
+    raises NotImplementedError on read, core.py:422-426): byte-plane
+    transpose is size-identical raw but compresses better; chosen only
+    when a block codec is downstream."""
+    from parquet_python_spark.kernels import compression as comp
+
+    rng = _np.random.default_rng(7)
+    arr = pa.array(rng.standard_normal(10000).astype(_np.float32),
+                   type=pa.float32())
+    assert _sel.choose(arr).codec_name == "plain"
+    c = _sel.choose(arr, compressed=True)
+    assert c.codec_name == "bss"
+    gz = comp.resolve("GZIP")
+    blk_bss = _enc.encode_block(arr, _enc.BSS, gz)
+    blk_plain = _enc.encode_block(arr, _enc.PLAIN, gz)
+    assert _enc.decode_block(blk_bss).equals(arr)
+    assert len(blk_bss) < len(blk_plain)
+
+
+def test_bss_handles_nulls_and_specials():
+    a = pa.array([1.5, None, float("inf"), -0.0, 2.5e300, float("nan")],
+                 type=pa.float64())
+    d = _enc.decode_block(_enc.encode_block(a, _enc.BSS))
+    import math
+    got, want = d.to_pylist(), a.to_pylist()
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        if w is None or (isinstance(w, float) and math.isnan(w)):
+            assert g is None or math.isnan(g)
+        else:
+            assert g == w
