@@ -238,7 +238,8 @@ def _from_int_view(values: np.ndarray, dt: int) -> pa.Array:
     return pa.array(values.astype(np_t), type=_DT_ARROW[dt])
 
 
-def _encode_values(arr: pa.Array, dt: int, codec: int) -> bytes:
+def _encode_values(arr: pa.Array, dt: int, codec: int,
+                   compressed: bool = False) -> bytes:
     """Encode a *non-null* arrow array with the given codec."""
     if codec == MAP or dt >= DT_MAP_BASE:
         if codec != MAP or dt < DT_MAP_BASE:
@@ -251,8 +252,10 @@ def _encode_values(arr: pa.Array, dt: int, codec: int) -> bytes:
         keys = arr.keys.slice(lo, hi - lo)
         items = arr.items.slice(lo, hi - lo)
         rebased = (offsets - lo).astype("<i4")
-        key_block = encode_block(keys, selector.choose(keys).codec)
-        val_block = encode_block(items, selector.choose(items).codec)
+        key_block = encode_block(
+            keys, selector.choose(keys, compressed=compressed).codec)
+        val_block = encode_block(
+            items, selector.choose(items, compressed=compressed).codec)
         return (np.uint32(n).tobytes() + rebased.tobytes()
                 + np.uint32(len(key_block)).tobytes() + key_block
                 + val_block)
@@ -266,7 +269,7 @@ def _encode_values(arr: pa.Array, dt: int, codec: int) -> bytes:
         offsets = np.asarray(arr.offsets, dtype=np.int64)
         child = arr.flatten()  # honors offsets/slicing
         rebased = (offsets - offsets[0]).astype("<i4")
-        child_choice = selector.choose(child)
+        child_choice = selector.choose(child, compressed=compressed)
         child_block = encode_block(child, child_choice.codec)
         return (np.uint32(n).tobytes() + rebased.tobytes()
                 + np.uint32(len(child_block)).tobytes() + child_block)
@@ -286,7 +289,8 @@ def _encode_values(arr: pa.Array, dt: int, codec: int) -> bytes:
         ints = np.rint(v.astype(np.float64) * scale).astype(np.int64)
         from . import selector  # deferred: selector imports this module
         child = pa.array(ints, type=pa.int64())
-        child_block = encode_block(child, selector.choose(child).codec)
+        child_block = encode_block(
+            child, selector.choose(child, compressed=compressed).codec)
         return np.int64(scale).tobytes() + child_block
     if codec == BSS:
         if dt not in (DT_FLOAT64, DT_FLOAT32):
@@ -439,7 +443,9 @@ def encode_block(arr: pa.Array, codec: int, comp: int = compression.UNCOMPRESSED
         values = arr.drop_null()
     else:
         values = arr
-    payload.extend(_encode_values(values, dt, codec))
+    # child codec selection knows whether a block codec is downstream
+    payload.extend(_encode_values(values, dt, codec,
+                                  compressed=comp != compression.UNCOMPRESSED))
     raw = bytes(payload)
     body = compression.compress(raw, comp)
     header = (
