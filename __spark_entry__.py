@@ -289,6 +289,10 @@ def q_fingerprint(spark, sf_dir):
     return text.fingerprints(_documents(spark, sf_dir))
 
 
+def q_redact(spark, sf_dir):
+    return text.redact(_documents(spark, sf_dir))
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup_groups(_documents(spark, sf_dir))
 
@@ -377,6 +381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "redact": q_redact,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -517,6 +522,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
             FROM documents""",
+        "redact": r"""
+            WITH r AS (
+              SELECT doc_id,
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+',
+                    '<EMAIL>', 'g'),
+                  '[0-9]{7,}', '<NUM>', 'g') AS redacted,
+                text
+              FROM documents)
+            SELECT doc_id, redacted, redacted != text AS changed FROM r""",
         "dedup_exact": """
             SELECT sha256(text) AS text_sha, min(doc_id) AS keep_id,
                    count(*)::BIGINT AS n_copies

@@ -85,6 +85,26 @@ def fingerprints(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> Da
     return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
 
 
+# RE2-safe (no lookarounds) so the DuckDB oracle runs identical patterns;
+# applied in ORDER (urls swallow embedded emails/digits first)
+REDACT_RULES = [
+    (r"https?://[^\s]+", "<URL>"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    (r"[0-9]{7,}", "<NUM>"),
+]
+
+
+def redact(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """PII-style scrubbing for training corpora: URLs, emails, and long
+    digit runs replaced with typed placeholders — pure JVM regexp_replace
+    chain (whole-stage codegen), rule order fixed and oracle-mirrored."""
+    out = F.col(col)
+    for pat, repl in REDACT_RULES:
+        out = F.regexp_replace(out, pat, repl)
+    return df.select(F.col(id_col), out.alias("redacted"),
+                     (out != F.col(col)).alias("changed"))
+
+
 # ------------------------------------------------------- winnowing (UDF path)
 
 def winnow_fingerprints(df: DataFrame, col: str = "text", id_col: str = "doc_id",

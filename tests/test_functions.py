@@ -140,3 +140,14 @@ def test_lang_id_markers(spark):
     got = text.lang_id(df).toPandas().set_index("doc_id")["pred_lang"]
     assert got[0] == "c" and got[1] == "python" and got[2] == "go"
     assert got[3] == "unknown"
+
+
+def test_redact_rules(spark):
+    rows = [(0, "mail me at a.b+c@example.com or visit https://x.io/p?q=1 "
+                "tel 12345678 short 123"),
+            (1, "clean text")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = text.redact(df).toPandas().set_index("doc_id")
+    assert out.loc[0, "redacted"] == ("mail me at <EMAIL> or visit <URL> "
+                                      "tel <NUM> short 123")
+    assert bool(out.loc[0, "changed"]) and not bool(out.loc[1, "changed"])
