@@ -376,6 +376,17 @@ def _with_row_hash(df: DataFrame, cols: list[str]) -> DataFrame:
     return df.withColumn("_row_hash", F.xxhash64(*hash_cols))
 
 
+def _project_for_encode(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Ship ONLY what the encode UDF needs through the shuffle / Arrow
+    exchange: the encoded columns plus part_key / split_id / repo / the
+    row hash.  54%% of encode wall time is that exchange (BASELINE.md
+    breakdown) — unencoded source columns riding along are pure waste."""
+    keep = list(dict.fromkeys(
+        list(cols) + [c for c in ("part_key", "split_id", "repo",
+                                  "_row_hash") if c in df.columns]))
+    return df.select(*[F.col(f"`{c}`") for c in keep])
+
+
 def encode_table(df: DataFrame, columns: list[str] | None = None,
                  target_rows: int = part.DEFAULT_TARGET_ROWS,
                  page_bytes: int = DEFAULT_PAGE_BYTES,
@@ -396,7 +407,7 @@ def encode_table(df: DataFrame, columns: list[str] | None = None,
     # order-independent row integrity hash, computed JVM-side pre-shuffle.
     # Spark (correctly) refuses to hash MAP columns — entry order is
     # unspecified — so maps are hashed via their sorted entry list.
-    df = _with_row_hash(df, cols)
+    df = _project_for_encode(_with_row_hash(df, cols), cols)
     fn = make_encode_group(cols, page_bytes, compression)
     return df.groupBy("part_key").applyInArrow(fn, BLOCKS_SCHEMA)
 
@@ -429,7 +440,7 @@ def encode_table_local(df: DataFrame, columns: list[str] | None = None,
     df, cols = _flatten_structs(df, cols)
     if "part_key" not in df.columns:
         df = part.with_partition_plan(df, target_rows, plan=plan)
-    df = _with_row_hash(df, cols)
+    df = _project_for_encode(_with_row_hash(df, cols), cols)
     group_fn = make_encode_group(cols, page_bytes, compression)
 
     def encode_partition(batches):
