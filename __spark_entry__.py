@@ -187,6 +187,21 @@ def q_q1_pricing_decoded(spark, sf_dir):
                  F.count(F.lit(1)).alias("count_order")))
 
 
+def q_q1_rollup(spark, sf_dir):
+    """Grouping sets over decoded blocks (SURVEY §2e: aggs the reference
+    lacks, free from Spark SQL): ROLLUP on returnflag with a grand-total
+    row."""
+    blocks = pl.encode_table(_lineitem_source(spark, sf_dir),
+                             columns=LINEITEM_COLS,
+                             target_rows=50_000).persist()
+    d = pl.decode_blocks(blocks, columns=["l_returnflag", "l_quantity"])
+    return (d.rollup("l_returnflag")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.count(F.lit(1)).alias("n"))
+            .select(F.coalesce("l_returnflag", F.lit("ALL"))
+                    .alias("returnflag"), "sum_qty", "n"))
+
+
 def q_roundtrip_embeddings(spark, sf_dir):
     """LIST-column pipeline parity: encode/decode array<float> embeddings.
 
@@ -372,6 +387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_without_decode": q_count_without_decode,
         "stats_minmax": q_stats_minmax,
         "q1_pricing_decoded": q_q1_pricing_decoded,
+        "q1_rollup": q_q1_rollup,
         "roundtrip_embeddings": q_roundtrip_embeddings,
         "roundtrip_props_map": q_roundtrip_props_map,
         "roundtrip_struct": q_roundtrip_struct,
@@ -459,6 +475,11 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1997-06-30 00:00:00'
             GROUP BY l_returnflag, l_linestatus""",
+        "q1_rollup": """
+            SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                   round(SUM(l_quantity), 2) AS sum_qty,
+                   count(*)::BIGINT AS n
+            FROM lineitem GROUP BY ROLLUP (l_returnflag)""",
         "roundtrip_embeddings": """
             SELECT vec_id, label, CAST(u.i - 1 AS INT) AS idx, u.v AS val
             FROM (SELECT vec_id, label,
