@@ -122,6 +122,12 @@ def bench_queries(spark, names) -> dict:
     import __spark_entry__ as entry_mod
 
     qs = entry_mod.queries()
+    # untimed python-worker warm-up: the first mapInPandas query otherwise
+    # pays pandas/numpy import in every worker under this sandbox's
+    # serialized page faults (same steady-state stance as bench_encode)
+    par = spark.sparkContext.defaultParallelism
+    (spark.range(par * 4).repartition(par)
+     .mapInPandas(lambda it: it, "id long").count())
     out = {}
     for name in names:
         # isolation: queries persist intermediates (q1 blocks, shingle edge
