@@ -70,6 +70,9 @@ DT_UINT64 = 11
 DT_UINT32 = 12
 DT_UINT16 = 13
 DT_UINT8 = 14
+# day-time interval (Spark DayTimeIntervalType <-> arrow duration[us]) —
+# reference INTERVAL converted type (converted_types.py typemap)
+DT_DURATION_US = 15
 
 _DT_NUMPY = {
     DT_INT64: "int64", DT_INT32: "int32", DT_INT16: "int16", DT_INT8: "int8",
@@ -83,9 +86,10 @@ _DT_ARROW = {
     DT_TIMESTAMP_US: pa.timestamp("us"), DT_DATE32: pa.date32(),
     DT_UINT64: pa.uint64(), DT_UINT32: pa.uint32(),
     DT_UINT16: pa.uint16(), DT_UINT8: pa.uint8(),
+    DT_DURATION_US: pa.duration("us"),
 }
 _INT_DTS = {DT_INT64, DT_INT32, DT_INT16, DT_INT8, DT_TIMESTAMP_US, DT_DATE32,
-            DT_UINT64, DT_UINT32, DT_UINT16, DT_UINT8}
+            DT_UINT64, DT_UINT32, DT_UINT16, DT_UINT8, DT_DURATION_US}
 
 # Spark has NO unsigned types: at the Spark decode boundary uint widths
 # promote to the next wider signed type (reference nullable/unsigned
@@ -173,6 +177,8 @@ def dtype_id_for_arrow(t: pa.DataType) -> int:
         return DT_BINARY
     if pa.types.is_timestamp(t):
         return DT_TIMESTAMP_US
+    if pa.types.is_duration(t):
+        return DT_DURATION_US
     if pa.types.is_date32(t):
         return DT_DATE32
     raise TypeError(f"unsupported arrow type {t}")
@@ -211,7 +217,7 @@ def _to_int_view(arr: pa.Array, dt: int) -> np.ndarray:
     """Non-null arrow numeric array -> int64 numpy view for int codecs.
     uint64 is reinterpreted bit-for-bit (bijective; order is irrelevant to
     the codecs, and stats are computed from the original array)."""
-    if dt == DT_TIMESTAMP_US:
+    if dt in (DT_TIMESTAMP_US, DT_DURATION_US):
         return np.asarray(arr.cast(pa.int64()), dtype=np.int64)
     if dt == DT_DATE32:
         return np.asarray(arr.cast(pa.int32()), dtype=np.int64)
@@ -225,6 +231,8 @@ def _to_int_view(arr: pa.Array, dt: int) -> np.ndarray:
 def _from_int_view(values: np.ndarray, dt: int) -> pa.Array:
     if dt == DT_TIMESTAMP_US:
         return pa.array(values.astype("int64"), type=pa.int64()).cast(pa.timestamp("us"))
+    if dt == DT_DURATION_US:
+        return pa.array(values.astype("int64"), type=pa.int64()).cast(pa.duration("us"))
     if dt == DT_DATE32:
         return pa.array(values.astype("int32"), type=pa.int32()).cast(pa.date32())
     if dt == DT_BOOL:
@@ -305,7 +313,7 @@ def _encode_values(arr: pa.Array, dt: int, codec: int,
             v = _to_int_view(arr, dt)
             np_t = {DT_INT64: "<i8", DT_INT32: "<i4", DT_INT16: "<i2", DT_INT8: "<i1",
                     DT_TIMESTAMP_US: "<i8", DT_DATE32: "<i4", DT_BOOL: "<u1",
-                    DT_UINT64: "<i8", DT_UINT32: "<u4", DT_UINT16: "<u2",
+                    DT_DURATION_US: "<i8", DT_UINT64: "<i8", DT_UINT32: "<u4", DT_UINT16: "<u2",
                     DT_UINT8: "<u1"}[dt]
             return v.astype(np_t).tobytes()
         return np.asarray(arr).astype({DT_FLOAT64: "<f8", DT_FLOAT32: "<f4"}[dt]).tobytes()
@@ -379,7 +387,7 @@ def _decode_values(raw: bytes, dt: int, codec: int, count: int) -> pa.Array:
             return plain.decode_strings(raw, binary=(dt == DT_BINARY))
         np_t = {DT_INT64: "<i8", DT_INT32: "<i4", DT_INT16: "<i2", DT_INT8: "<i1",
                 DT_TIMESTAMP_US: "<i8", DT_DATE32: "<i4", DT_BOOL: "<u1",
-                DT_UINT64: "<i8", DT_UINT32: "<u4", DT_UINT16: "<u2",
+                DT_DURATION_US: "<i8", DT_UINT64: "<i8", DT_UINT32: "<u4", DT_UINT16: "<u2",
                 DT_UINT8: "<u1",
                 DT_FLOAT64: "<f8", DT_FLOAT32: "<f4"}[dt]
         v = np.frombuffer(raw, dtype=np_t, count=count)
@@ -418,6 +426,8 @@ def encode_block(arr: pa.Array, codec: int, comp: int = compression.UNCOMPRESSED
     """Encode one column chunk (arrow array, possibly with nulls) -> block."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if pa.types.is_duration(arr.type) and arr.type.unit != "us":
+        arr = arr.cast(pa.duration("us"))
     if pa.types.is_timestamp(arr.type) and arr.type.unit != "us":
         # Spark's native unit is microseconds (TimestampType); normalize.
         # Mirrors the reference's time-unit shifts (fastparquet/writer.py:381-386).

@@ -213,7 +213,7 @@ def _choose_int(samp: pa.Array, vals: pa.Array, dt: int, n: int) -> Choice:
     itemsize = {enc.DT_INT64: 8, enc.DT_TIMESTAMP_US: 8, enc.DT_INT32: 4,
                 enc.DT_DATE32: 4, enc.DT_INT16: 2, enc.DT_INT8: 1,
                 enc.DT_UINT64: 8, enc.DT_UINT32: 4, enc.DT_UINT16: 2,
-                enc.DT_UINT8: 1}[dt]
+                enc.DT_UINT8: 1, enc.DT_DURATION_US: 8}[dt]
     sizes = {enc.PLAIN: nv * itemsize}
     sizes[enc.BITPACK] = nv * range_width / 8 + 9
     sizes[enc.DELTA] = nv * (delta_width / 8) + nv / 128 * 6 + 16

@@ -262,3 +262,37 @@ def test_bss_handles_nulls_and_specials():
             assert g is None or math.isnan(g)
         else:
             assert g == w
+
+
+# ----------------------------------------------------- day-time interval
+
+def test_duration_interval_roundtrip():
+    """INTERVAL converted-type parity (reference converted_types typemap):
+    Spark DayTimeIntervalType <-> arrow duration[us] through int codecs."""
+    a = _pa.array(_np.array([1, -5, 10**12, 0], dtype="timedelta64[us]"))
+    c = _sel.choose(a)
+    assert _enc.decode_block(_enc.encode_block(a, c.codec)).equals(a)
+    an = _pa.array([1, None, -7], type=_pa.duration("us"))
+    assert _enc.decode_block(_enc.encode_block(an, _enc.PLAIN)).equals(an)
+    # ns durations normalize when lossless; sub-us values raise (safe cast)
+    ok = _pa.array(_np.array([5000, 6000], dtype="timedelta64[ns]"))
+    d = _enc.decode_block(_enc.encode_block(ok, _enc.PLAIN))
+    assert d.equals(ok.cast(_pa.duration("us")))
+
+
+def test_duration_through_spark_pipeline(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from parquet_python_spark.operators import pipeline as pl
+
+    src = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+           .withColumn("age", F.expr("timestamp'2001-01-01' - ts"))
+           .withColumn("repo", (F.col("user_id") % 5).cast("string"))
+           .withColumn("path", F.col("event_id").cast("string"))
+           .withColumn("commit", F.lit("0")))
+    blocks = pl.encode_table(src, columns=["event_id", "age"]).persist()
+    dec = pl.decode_blocks(blocks)
+    assert dict(dec.dtypes)["age"].startswith("interval day")
+    a = dec.select("event_id", "age")
+    b = src.select("event_id", "age")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
