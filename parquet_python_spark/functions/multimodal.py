@@ -89,18 +89,19 @@ def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
             np.cumsum(lens[:-1], out=starts[1:])
             nonzero = lens > 0
             sums = np.zeros(n, dtype=np.int64)
-            if flat.size:
-                # reduceat needs strictly valid segment starts; empty
-                # payloads are patched to 0 afterwards
-                idx = np.minimum(starts, flat.size - 1)
-                sums_all = np.add.reduceat(flat.astype(np.int64), idx)
-                xor_all = np.bitwise_xor.reduceat(
+            feat = np.zeros(n, dtype=np.uint64)
+            nz_idx = np.flatnonzero(nonzero)
+            if flat.size and nz_idx.size:
+                # reduceat over the starts of NONZERO segments only: with
+                # empty segments dropped, each start < flat.size and every
+                # reduceat segment ends exactly at the next payload's start
+                # (clamping empty-segment starts instead truncated the
+                # preceding payload's segment — r2 review finding)
+                idx = starts[nz_idx]
+                sums[nz_idx] = np.add.reduceat(flat.astype(np.int64), idx)
+                feat[nz_idx] = np.bitwise_xor.reduceat(
                     flat.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15),
                     idx)
-                sums = np.where(nonzero, sums_all, 0)
-                feat = np.where(nonzero, xor_all, np.uint64(0))
-            else:
-                feat = np.zeros(n, dtype=np.uint64)
             byte_mean = np.where(nonzero, sums // np.maximum(lens, 1),
                                  0).astype(np.int32)
             yield pd.DataFrame({

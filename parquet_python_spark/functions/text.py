@@ -1,16 +1,12 @@
 """Text-analysis operators for large-scale training-data pipelines.
 
-All hot-path expressions are built from ``pyspark.sql.functions`` (JVM-side,
-whole-stage codegen — no Python in the row path); the one genuinely
-imperative op (winnowing fingerprints) is an Arrow-batched pandas UDF over
-numpy.  Each op has an exact ANSI-SQL twin used as the DuckDB oracle (see
-``__spark_entry__.oracle_sql``), so formulas deliberately stick to
-integer-derived ratios rounded at the end.
+Every op — including winnowing, as of r3 — is built purely from
+``pyspark.sql.functions`` (JVM-side, whole-stage codegen: no Python
+anywhere in the row path).  Each op has an exact ANSI-SQL twin used as the
+DuckDB oracle (see ``__spark_entry__.oracle_sql``), so formulas
+deliberately stick to integer-derived ratios rounded at the end.
 """
 from __future__ import annotations
-
-import numpy as np
-import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -105,7 +101,7 @@ def redact(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFram
                      (out != F.col(col)).alias("changed"))
 
 
-# ------------------------------------------------------- winnowing (UDF path)
+# ---------------------------------------------------------------- winnowing
 
 def winnow_fingerprints(df: DataFrame, col: str = "text", id_col: str = "doc_id",
                         k: int = 5, window: int = 4) -> DataFrame:
@@ -113,52 +109,25 @@ def winnow_fingerprints(df: DataFrame, col: str = "text", id_col: str = "doc_id"
     minimum hash of each sliding window of ``window`` consecutive k-gram
     hashes, deduplicated per document.
 
-    k-gram hash = md5 of the space-joined k tokens — engine-portable, so
-    a DuckDB oracle reproduces the fingerprints exactly (r1 used pandas'
-    hash_pandas_object: unverifiable and pandas-version-tied).  The
-    sliding-window minimum runs as vectorized np.minimum folds over the
-    per-batch hash array; the only per-item Python is the md5 call
-    itself.  Output: one (doc, fp) row per distinct selected hash."""
-    import hashlib
-
-    from pyspark.sql.types import StringType, StructField, StructType
-    schema = StructType([
-        StructField(id_col, df.schema[id_col].dataType),
-        StructField("fp", StringType()),
-    ])
-
-    from ._ngrams import flat_ngrams
-
-    def run(batches):
-        for pdf in batches:
-            got = flat_ngrams(pdf, col, k, WORD_RE)
-            if got is None:
-                continue
-            kdoc, kg, valid = got
-            ids = pdf[id_col].to_numpy()
-            h = np.array([hashlib.md5(s.encode()).hexdigest()
-                          for s in kg], dtype=object)
-            out_ids, out_fps = [], []
-            # kdoc is sorted (np.repeat of arange): searchsorted slices
-            # each doc in O(log n) instead of a full boolean mask per doc
-            starts = np.searchsorted(kdoc, np.arange(len(pdf)))
-            ends = np.searchsorted(kdoc, np.arange(len(pdf)), side="right")
-            for i in range(len(pdf)):  # numpy slices per doc
-                hs = h[starts[i]:ends[i]][valid[starts[i]:ends[i]]]
-                mc = len(hs)
-                if mc == 0:
-                    continue
-                if mc <= window:
-                    sel = np.array([hs.min()], dtype=object)
-                else:
-                    win = hs[:mc - window + 1]
-                    for j in range(1, window):  # vectorized min folds
-                        win = np.minimum(win, hs[j:mc - window + 1 + j])
-                    sel = np.unique(win)
-                out_ids.extend([ids[i]] * len(sel))
-                out_fps.extend(sel.tolist())
-            yield pd.DataFrame({id_col: out_ids, "fp": out_fps})
-
-    from ._parallel import ensure_parallelism
-
-    return ensure_parallelism(df.select(id_col, col)).mapInPandas(run, schema)
+    Pure JVM expression tree (whole-stage codegen, zero Python in the row
+    path, zero shuffles — r2 hashed each k-gram with a per-item
+    ``hashlib.md5`` loop inside a pandas UDF, the one remaining hot-path
+    Python loop): tokens and k-grams stay an ARRAY within their row
+    (``transform`` over a ``sequence`` of window starts, no posexplode),
+    each k-gram hashes via ``F.md5`` on the space-joined tokens
+    (engine-portable — the DuckDB oracle reproduces fingerprints exactly),
+    the sliding minimum is ``array_min`` over ``slice`` windows, and only
+    the final distinct fingerprints explode into (doc, fp) rows."""
+    toks = F.regexp_extract_all(F.lower(F.col(col)), F.lit(WORD_RE), 0)
+    m = F.size(toks) - F.lit(k - 1)  # number of k-grams
+    kg_h = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))))
+    sel = (
+        F.when(m <= 0, F.lit(None))  # no k-grams -> no rows after explode
+        .when(m <= window, F.array(F.array_min(kg_h)))
+        .otherwise(F.array_distinct(F.transform(
+            F.sequence(F.lit(1), m - F.lit(window - 1)),
+            lambda j: F.array_min(F.slice(kg_h, j, window)))))
+    )
+    return df.select(F.col(id_col), F.explode(sel).alias("fp"))

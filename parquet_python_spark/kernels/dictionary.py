@@ -32,8 +32,13 @@ def encode_string(arr: pa.Array) -> bytes:
 
 
 def encode_fixed(values: np.ndarray) -> bytes:
-    """Dictionary-encode a fixed-width numpy array."""
-    codes, uniques = pd.factorize(values, sort=False)
+    """Dictionary-encode a fixed-width numpy array.
+
+    ``use_na_sentinel=False``: float NaN must become a REGULAR dictionary
+    label — the default factorize maps NaN to code -1 and drops it from
+    the uniques, which corrupts any NaN-bearing float block (the -1 wraps
+    to 2^64-1 in the unsigned code stream)."""
+    codes, uniques = pd.factorize(values, sort=False, use_na_sentinel=False)
     return _assemble(plain.encode_fixed(np.asarray(uniques, dtype=values.dtype)), codes.astype(np.int64), len(uniques))
 
 

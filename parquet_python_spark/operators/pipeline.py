@@ -181,6 +181,16 @@ def _minmax_num(arr: pa.Array, dt: int) -> tuple[float | None, float | None]:
         return _num_bounds(lo.value, hi.value)  # raw int: µs / days
     if dt == enc.DT_BOOL:
         return float(lo.as_py()), float(hi.as_py())
+    if dt in (enc.DT_FLOAT64, enc.DT_FLOAT32) and \
+            pa.compute.any(pa.compute.is_nan(arr)).as_py():
+        # min_max skips NaN, but Spark orders NaN ABOVE +inf (`x > 10`
+        # matches a NaN row), so a NaN-bearing page must widen its max to
+        # +inf or pruning silently drops matching rows; an all-NaN page
+        # (min == inf) has no finite stats at all -> ineligible
+        lo_f = lo.as_py()
+        if lo_f == float("inf"):
+            return None, None
+        return float(lo_f), float("inf")
     return _num_bounds(lo.as_py(), hi.as_py())
 
 
@@ -241,7 +251,7 @@ def make_encode_group(cols: list[str], page_bytes: int = DEFAULT_PAGE_BYTES,
         # this amortizes per-block fixed costs (symbol-table builds,
         # selector sampling) that dominated with row-aligned pages
         for ci, c in enumerate(cols):
-            logical = c.replace(FLAT_SEP, ".")  # dotted path in metadata
+            logical = _meta_name(c)  # dotted path in metadata
             col = tbl[c].combine_chunks()
             bpr = _sampled_bytes_per_row(tbl, [c])
             rows_per_page = max(int(page_bytes / bpr), 1024)
@@ -295,6 +305,16 @@ STRUCT_NOTNULL = "__notnull"
 # column, and a literal dot would parse as struct-field access inside
 # pyspark itself.  Block metadata and decoded output use real dots.
 FLAT_SEP = "\x1f"
+# a dot in block metadata means "flattened struct path" — a SOURCE column
+# literally named 'a.b' must not silently re-nest into struct a{b} on
+# decode (r2 review finding), so pre-existing dots are escaped in the
+# metadata name and restored in the decoded output
+META_ESC = "\x1e"
+
+
+def _meta_name(flat_col: str) -> str:
+    """Physical flat column name -> block-metadata logical name."""
+    return flat_col.replace(".", META_ESC).replace(FLAT_SEP, ".")
 
 
 def _flatten_structs(df: DataFrame, cols: list[str]):
@@ -329,8 +349,10 @@ def _flatten_structs(df: DataFrame, cols: list[str]):
 
 def reassemble_structs(df: DataFrame) -> DataFrame:
     """Inverse of ``_flatten_structs``: dotted columns re-nest into struct
-    columns, honoring the ``__notnull`` validity bit."""
-    if not any("." in c for c in df.columns):
+    columns, honoring the ``__notnull`` validity bit.  Escaped literal
+    dots (``META_ESC``) restore to real dots in output names WITHOUT
+    re-nesting — only dots produced by flattening nest."""
+    if not any("." in c or META_ESC in c for c in df.columns):
         return df
 
     def build(prefix: str, names: list[str]):
@@ -347,6 +369,7 @@ def reassemble_structs(df: DataFrame) -> DataFrame:
         for head in order:
             if head == STRUCT_NOTNULL:
                 continue
+            out_name = head.replace(META_ESC, ".")
             full = f"{prefix}{head}"
             subs = children[head]
             if subs:
@@ -354,9 +377,9 @@ def reassemble_structs(df: DataFrame) -> DataFrame:
                 st = F.struct(*inner)
                 if f"{full}.{STRUCT_NOTNULL}" in df.columns:
                     st = F.when(F.col(f"`{full}.{STRUCT_NOTNULL}`"), st)
-                exprs.append(st.alias(head))
+                exprs.append(st.alias(out_name))
             else:
-                exprs.append(F.col(f"`{full}`").alias(head))
+                exprs.append(F.col(f"`{full}`").alias(out_name))
         return exprs
 
     return df.select(*build("", list(df.columns)))
@@ -374,6 +397,22 @@ def _with_row_hash(df: DataFrame, cols: list[str]) -> DataFrame:
         if isinstance(df.schema[c].dataType, MapType) else F.col(f"`{c}`")
         for c in cols]
     return df.withColumn("_row_hash", F.xxhash64(*hash_cols))
+
+
+def _rename_dotted(df: DataFrame, cols: list[str]):
+    """Escape literal dots in PHYSICAL column names before the grouped
+    Arrow UDF: pyspark's applyInArrow resolves ``df[name]`` per column and
+    a dot parses as struct-field access inside pyspark itself (the same
+    limitation FLAT_SEP works around for flattened struct paths).
+    ``_meta_name`` keeps the escape, so decode restores the real dot."""
+    out_cols = []
+    for c in cols:
+        if "." in c:
+            df = df.withColumnRenamed(c, c.replace(".", META_ESC))
+            out_cols.append(c.replace(".", META_ESC))
+        else:
+            out_cols.append(c)
+    return df, out_cols
 
 
 def _project_for_encode(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -402,6 +441,7 @@ def encode_table(df: DataFrame, columns: list[str] | None = None,
     """
     cols = columns or [c for c in df.columns if c not in _HELPER_COLS]
     df, cols = _flatten_structs(df, cols)
+    df, cols = _rename_dotted(df, cols)
     if "part_key" not in df.columns:
         df = part.with_partition_plan(df, target_rows, plan=plan)
     # order-independent row integrity hash, computed JVM-side pre-shuffle.
@@ -438,6 +478,7 @@ def encode_table_local(df: DataFrame, columns: list[str] | None = None,
     """
     cols = columns or [c for c in df.columns if c not in _HELPER_COLS]
     df, cols = _flatten_structs(df, cols)
+    df, cols = _rename_dotted(df, cols)
     if "part_key" not in df.columns:
         df = part.with_partition_plan(df, target_rows, plan=plan)
     df = _project_for_encode(_with_row_hash(df, cols), cols)
@@ -551,26 +592,56 @@ def write_blockstore(blocks: DataFrame, path: str, mode: str = "append") -> None
 
 
 def lineage_from_blocks(blocks: DataFrame) -> DataFrame:
-    """Per-part_key rollup: rows, bytes, codec mix, order-independent hash."""
+    """Per-part_key rollup: rows, bytes, codec mix, order-independent hash.
+
+    ``n_rows`` is the sum over (repo, split_id) SUBGROUPS of each
+    subgroup's per-column max: local-strategy sub-blocks of one packed
+    bucket can carry different repo labels, and the old part-wide max
+    joined onto every subgroup over/under-counted those parts (r2 review
+    finding).  Within a subgroup every encoded column covers the same rows,
+    so the per-column max is that subgroup's exact row count; subgroup
+    counts are disjoint row sets, so their sum is the part total under
+    BOTH encode strategies."""
     per_col = blocks.groupBy("part_key", "repo", "split_id", "column").agg(
         F.sum("n_values").alias("col_values"),
+        F.countDistinct("page_id").alias("col_pages"),
+        F.count(F.lit(1)).alias("col_blocks"),
         F.sum("raw_size").alias("col_raw"),
         F.sum("encoded_size").alias("col_enc"),
-        F.max("n_values").alias("_pg"),
+        F.sum("encode_ms").alias("col_ms"),
+        F.expr("aggregate(collect_list(row_hash), 0L, (a, x) -> a ^ x)")
+        .alias("col_hash"),
+        F.collect_set("codec").alias("col_codecs"),
     )
-    rows = per_col.groupBy("part_key").agg(F.max("col_values").alias("n_rows"))
+    sub = (per_col.groupBy("part_key", "repo", "split_id")
+           .agg(F.max("col_values").alias("sub_rows"),
+                F.max("col_pages").alias("sub_pages"),
+                F.sum("col_blocks").alias("sub_blocks"),
+                F.sum("col_raw").alias("sub_raw"),
+                F.sum("col_enc").alias("sub_enc"),
+                F.sum("col_ms").alias("sub_ms"),
+                F.expr("aggregate(collect_list(col_hash), 0L, "
+                       "(a, x) -> a ^ x)").alias("sub_hash"),
+                F.array_distinct(F.flatten(
+                    F.collect_list("col_codecs"))).alias("sub_codecs")))
     return (
-        blocks.groupBy("part_key", "repo", "split_id")
+        sub.groupBy("part_key")
         .agg(
-            F.countDistinct("page_id").alias("n_pages"),
-            F.count(F.lit(1)).alias("n_blocks"),
-            F.sum("raw_size").alias("raw_bytes"),
-            F.sum("encoded_size").alias("enc_bytes"),
-            F.sum("encode_ms").alias("encode_ms"),
-            F.expr("aggregate(collect_list(row_hash), 0L, (a, x) -> a ^ x)").alias("row_hash"),
-            F.sort_array(F.collect_set("codec")).alias("codecs"),
+            F.max("repo").alias("repo"),
+            F.max("split_id").alias("split_id"),
+            F.sum("sub_pages").alias("n_pages"),
+            F.sum("sub_blocks").alias("n_blocks"),
+            F.sum("sub_raw").alias("raw_bytes"),
+            F.sum("sub_enc").alias("enc_bytes"),
+            F.sum("sub_ms").alias("encode_ms"),
+            # xor of per-column xors == xor over all blocks (only the
+            # col_idx==0 blocks carry a nonzero hash; 0 is the identity)
+            F.expr("aggregate(collect_list(sub_hash), 0L, (a, x) -> a ^ x)")
+            .alias("row_hash"),
+            F.array_sort(F.array_distinct(
+                F.flatten(F.collect_list("sub_codecs")))).alias("codecs"),
+            F.sum("sub_rows").alias("n_rows"),
         )
-        .join(rows, "part_key")
         .withColumn("status", F.lit("complete"))
     )
 
@@ -929,13 +1000,18 @@ def decode_blocks(blocks: DataFrame, columns: list[str] | None = None,
     scheme: filter_row_groups then row_filter, api.py:691-794).
     ``keep_part_key=True`` prepends the originating part_key to every row
     (store-maintenance ops re-encode rows under their original parts)."""
+    user_cols = list(columns) if columns is not None else None
     if filters is not None:
         need = {c for grp in _norm_filters(filters) for (c, _, _) in grp}
         if columns is not None:
             columns = list(dict.fromkeys(list(columns) + [c for c in need if c not in columns]))
     if columns is not None:
-        # a requested struct column matches its dotted children
-        cond = F.col("column").isin(columns)
+        # a requested struct column matches its dotted children; a column
+        # literally named 'a.b' matches its META_ESC metadata spelling
+        match = list(dict.fromkeys(
+            list(columns) + [c.replace(".", META_ESC) for c in columns
+                             if "." in c]))
+        cond = F.col("column").isin(match)
         for c in columns:
             cond = cond | F.col("column").startswith(c + ".")
         blocks = blocks.where(cond)
@@ -944,6 +1020,14 @@ def decode_blocks(blocks: DataFrame, columns: list[str] | None = None,
     # unresolvable zero-column plan
     schema = infer_schema_from_blocks(blocks)
     if filters is not None:
+        # resolve filter names against the flat metadata schema: exact
+        # (struct-path) spelling wins; else the escaped literal-dot one
+        names = {f.name for f in schema.fields}
+        filters = [[(c if c in names
+                     else (c.replace(".", META_ESC)
+                           if c.replace(".", META_ESC) in names else c),
+                     op, v) for (c, op, v) in grp]
+                   for grp in _norm_filters(filters)]
         blocks = prune_blocks(blocks, filters)
     if keep_part_key:
         schema = StructType(
@@ -989,6 +1073,17 @@ def decode_blocks(blocks: DataFrame, columns: list[str] | None = None,
     out = blocks.groupBy("part_key").applyInArrow(decode_group, schema)
     if filters is not None:
         out = filt.apply_filters(out, filters)
+        if user_cols is not None:
+            # columns pulled in only to evaluate the predicate must NOT
+            # leak into the result — the reference's two-pass row filter
+            # reads filter columns for the mask but returns the requested
+            # projection only (fastparquet api.py:746-765)
+            keep = [f.name for f in out.schema.fields
+                    if f.name in user_cols
+                    or f.name.replace(META_ESC, ".") in user_cols
+                    or any(f.name.startswith(c + ".") for c in user_cols)
+                    or (keep_part_key and f.name == "part_key")]
+            out = out.select(*[F.col(f"`{c}`") for c in keep])
     if reassemble:
         out = reassemble_structs(out)
     return out
@@ -1027,7 +1122,11 @@ def _prune_literals(v) -> dict:
             pass
     elif isinstance(v, bool) or isinstance(v, (int, float,
                                                np.integer, np.floating)):
-        out["num"] = float(v)
+        # a NaN literal can't be range-compared against finite stats
+        # (Spark orders NaN above +inf) — leave num None so every block
+        # stays eligible and the exact re-filter decides
+        if not (isinstance(v, (float, np.floating)) and np.isnan(v)):
+            out["num"] = float(v)
     elif isinstance(v, datetime.datetime):
         t = pd.Timestamp(v)
         out["ts"] = float(t.value // 1000)
@@ -1221,18 +1320,27 @@ def read_store_metadata(path: str) -> dict:
 def head_rows(spark: SparkSession, path: str, n: int,
               columns: list[str] | None = None) -> DataFrame:
     """First ``n`` rows decoding as few pages as possible — the reference's
-    ``head`` (api.py:288-307).  Picks the minimal (part_key, page_id)
-    prefix whose cumulative row count covers ``n``, decodes only those."""
-    from pyspark.sql import Window
+    ``head`` (api.py:288-307).  Picks the minimal part_key prefix whose
+    cumulative row count covers ``n``, decodes only those.
 
+    The cutoff comes from an early-stopping iterator over the (tiny)
+    per-part row counts, sorted by part_key — NOT a no-partitionBy global
+    window, which would funnel every part's metadata row through one task
+    (r2 review finding; at 10^8 parts that single task is the bottleneck).
+    ``toLocalIterator`` streams one sorted partition at a time and stops
+    after O(parts needed) rows."""
     blocks = read_blocks(spark, path)
     parts = (blocks.groupBy("part_key", "column")
              .agg(F.sum("n_values").alias("rows"))
              .groupBy("part_key").agg(F.max("rows").alias("rows"))
-             .withColumn("cum", F.sum("rows").over(
-                 Window.orderBy("part_key")
-                 .rowsBetween(Window.unboundedPreceding, 0))))
-    need = parts.where(F.col("cum") - F.col("rows") < n).select("part_key")
+             .orderBy("part_key"))
+    cum, keys = 0, []
+    for r in parts.toLocalIterator():
+        keys.append(int(r["part_key"]))
+        cum += int(r["rows"])
+        if cum >= n:
+            break
+    need = spark.createDataFrame([(k,) for k in keys], "part_key long")
     picked = blocks.join(F.broadcast(need), ["part_key"], "left_semi")
     return decode_blocks(picked, columns=columns).limit(n)
 

@@ -31,7 +31,9 @@ _SIMPLE_OPS = {
 
 
 def triple_to_column(col: str, op: str, val) -> Column:
-    c = F.col(col)
+    # backticks: exact-name resolution — flattened struct paths ('a.b')
+    # and escaped literal dots must not parse as field access
+    c = F.col("`" + col.replace("`", "``") + "`")
     if op in _SIMPLE_OPS:
         return _SIMPLE_OPS[op](c, val)
     if op == "in":

@@ -151,3 +151,22 @@ def test_redact_rules(spark):
     assert out.loc[0, "redacted"] == ("mail me at <EMAIL> or visit <URL> "
                                       "tel <NUM> short 123")
     assert bool(out.loc[0, "changed"]) and not bool(out.loc[1, "changed"])
+
+
+def test_multimodal_trailing_empty_payload(spark):
+    """r2 ADVICE(medium): an empty payload at the batch tail must not
+    truncate the preceding payload's reduceat segment."""
+    import pandas as pd
+
+    pdf = pd.DataFrame({
+        "media_id": [0, 1, 2, 3],
+        "payload": [b"\x01\x02\x04", b"", b"\x05", b""],
+    })
+    df = spark.createDataFrame(pdf)
+    feats = (multimodal.extract_features(df, fake=True)
+             .toPandas().set_index("media_id").sort_index())
+    assert feats.loc[0, "n_bytes"] == 3
+    assert feats.loc[0, "byte_mean"] == (1 + 2 + 4) // 3
+    assert feats.loc[1, "n_bytes"] == 0 and feats.loc[1, "feat_hash"] == 0
+    assert feats.loc[2, "byte_mean"] == 5
+    assert feats.loc[3, "n_bytes"] == 0 and feats.loc[3, "feat_hash"] == 0

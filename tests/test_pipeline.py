@@ -283,3 +283,109 @@ def test_encode_table_local_roundtrip_store(spark, tmp_path):
     pl.write_blockstore(blocks, store, mode="append")
     dec = pl.decode_blocks(pl.read_blocks(spark, store))
     assert pl.verify_roundtrip(src.select(*cols), dec)["ok"]
+
+
+def test_nan_float_stats_do_not_misprune(spark, tmp_path):
+    """r2 ADVICE(high): Spark orders NaN ABOVE +inf, but arrow min_max
+    skips NaN — a NaN-bearing page must widen max to +inf (and an all-NaN
+    page must store no stats) or `x > hi` silently drops the NaN rows."""
+    import math
+
+    repos = (["lowfinite"] * 100) + (["mixed"] * 100) + (["allnan"] * 50)
+    xs = ([float(i) for i in range(100)]
+          + [1000.0 + i for i in range(90)] + [math.nan] * 10
+          + [math.nan] * 50)
+    # tuples, not pandas: pandas->Spark conversion turns NaN into NULL
+    rows = [(repos[i], str(i), "0", xs[i]) for i in range(250)]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, x double")
+    store = str(tmp_path / "nanstats")
+    # target 60: each 100-row repo salts into its own mono-repo parts
+    pl.run_encode(df, store, columns=["x"], target_rows=60, resume=False)
+    blocks = pl.read_blocks(spark, store)
+
+    filters = [("x", ">", 500.0)]
+    got = pl.decode_blocks(blocks, columns=["x"], filters=filters)
+    # Spark semantics: every NaN row matches x > 500
+    want = pl.decode_blocks(blocks, columns=["x"]).where(
+        F.col("x") > 500.0).count()
+    assert want == 90 + 60  # sanity: 90 finite highs + 60 NaNs
+    assert got.count() == want
+
+    # pruning still prunes: a finite-only low part is droppable for > 2000
+    pruned = pl.prune_blocks(blocks, [("x", ">", 2000.0)])
+    assert pruned.count() < blocks.count()
+    # NaN literal: unprunable, exact re-filter decides (0 rows match ==)
+    nan_got = pl.decode_blocks(blocks, columns=["x"],
+                               filters=[("x", "==", math.nan)])
+    assert nan_got.count() == pl.decode_blocks(blocks, columns=["x"]).where(
+        F.col("x") == float("nan")).count()
+
+
+def test_decode_filter_only_columns_dropped(spark, code_df, tmp_path):
+    """r2 VERDICT: columns read only to evaluate a filter must not leak
+    into the projection (reference two-pass row filter, api.py:746-765)."""
+    store = str(tmp_path / "leak")
+    pl.run_encode(code_df, store, target_rows=1000, resume=False)
+    blocks = pl.read_blocks(spark, store)
+    got = pl.decode_blocks(blocks, columns=["path"],
+                           filters=[("lang", "==", "python")])
+    assert got.columns == ["path"]
+    want = code_df.where(F.col("lang") == "python").count()
+    assert got.count() == want
+    # filter column requested explicitly still comes back
+    both = pl.decode_blocks(blocks, columns=["path", "lang"],
+                            filters=[("lang", "==", "python")])
+    assert both.columns == ["path", "lang"]
+
+
+def test_local_strategy_lineage_counts_multi_repo_bucket(spark, tmp_path):
+    """r2 ADVICE(medium): a packed bucket whose local-strategy sub-blocks
+    carry different repo labels must still report exact n_rows in lineage
+    (the part-wide max joined per subgroup over-counted)."""
+    pdf = pd.DataFrame({
+        "repo": ["a"] * 120 + ["b"] * 80,
+        "path": [str(i) for i in range(200)],
+        "commit": ["0"] * 200,
+        "val": np.arange(200, dtype=np.int64),
+    })
+    # partition the INPUT by repo so each input partition sees one repo
+    df = spark.createDataFrame(pdf).repartition(4, "repo")
+    store = str(tmp_path / "mrb")
+    stats = pl.run_encode(df, store, columns=["repo", "val"],
+                          target_rows=10_000, resume=False,
+                          strategy="local")
+    assert stats["rows"] == 200
+    lin = pl.read_lineage(spark, store)
+    assert lin.agg(F.sum("n_rows")).collect()[0][0] == 200
+    assert lin.groupBy("part_key").count().where(
+        F.col("count") > 1).count() == 0
+    # decode agrees
+    assert pl.decode_blocks(pl.read_blocks(spark, store)).count() == 200
+
+
+def test_literal_dot_column_does_not_renest(spark, tmp_path):
+    """r2 ADVICE(low): a source column literally named 'a.b' must decode
+    as a plain column named 'a.b', not silently re-nest into struct a{b};
+    a real struct alongside it must still re-nest."""
+    src = (spark.range(50)
+           .select(F.col("id"),
+                   (F.col("id") * 2).alias("a.b"),
+                   F.struct(F.col("id").alias("x")).alias("s"))
+           .withColumn("repo", F.lit("r"))
+           .withColumn("path", F.col("id").cast("string"))
+           .withColumn("commit", F.lit("0")))
+    blocks = pl.encode_table(src, columns=["id", "a.b", "s"],
+                             target_rows=100).persist()
+    dec = pl.decode_blocks(blocks)
+    assert set(dec.columns) == {"id", "a.b", "s"}
+    assert dec.schema["a.b"].dataType.typeName() == "long"
+    assert dec.schema["s"].dataType.typeName() == "struct"
+    got = dec.select(F.col("`a.b`")).agg(F.sum("`a.b`")).collect()[0][0]
+    assert got == sum(2 * i for i in range(50))
+    # projection + filter by the literal-dot name
+    proj = pl.decode_blocks(blocks, columns=["a.b"],
+                            filters=[("a.b", ">", 50)])
+    assert proj.columns == ["a.b"]
+    assert proj.count() == sum(1 for i in range(50) if 2 * i > 50)
+    blocks.unpersist()
