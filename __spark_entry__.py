@@ -234,6 +234,39 @@ def q_roundtrip_struct(spark, sf_dir):
                     F.col("meta.etype").alias("etype"))
 
 
+def q_roundtrip_tags_array(spark, sf_dir):
+    """array<struct<k,v>> pipeline parity (r3): struct leaves under a list
+    stripe Dremel-style into per-leaf array columns (repeated-group
+    striping — fastparquet assembles the same shape on read,
+    cencoding.pyx:431-494) and re-zip on decode; output posexploded to
+    scalars for the driver canonicalizer."""
+    src = (_events_source(spark, sf_dir)
+           .withColumn("tags", F.array(
+               F.struct(F.lit("uid").alias("k"),
+                        F.col("user_id").alias("v")),
+               F.struct(F.lit("etyl").alias("k"),
+                        F.length("event_type").cast("long").alias("v")))))
+    blocks = pl.encode_table(src, columns=["event_id", "tags"]).persist()
+    d = pl.decode_blocks(blocks)
+    return (d.select("event_id", F.posexplode("tags").alias("idx", "t"))
+            .select("event_id", "idx",
+                    F.col("t.k").alias("k"), F.col("t.v").alias("v")))
+
+
+def q_roundtrip_nested_list(spark, sf_dir):
+    """list<list<bigint>> pipeline parity (r3): composed nested dtype ids
+    in the v2 block header, recursive LIST child blocks; output double-
+    posexploded to scalars."""
+    src = (_events_source(spark, sf_dir)
+           .withColumn("ll", F.array(
+               F.array(F.col("user_id")),
+               F.sequence(F.lit(0).cast("long"), F.col("user_id") % 3))))
+    blocks = pl.encode_table(src, columns=["event_id", "ll"]).persist()
+    d = pl.decode_blocks(blocks)
+    return (d.select("event_id", F.posexplode("ll").alias("i", "inner"))
+            .select("event_id", "i", F.posexplode("inner").alias("j", "val")))
+
+
 def q_merge_count(spark, sf_dir):
     """Store maintenance parity (reference merge, fastparquet
     writer.py:1464-1494): encode two halves of documents into separate
@@ -271,6 +304,23 @@ def q_roundtrip_props_map(spark, sf_dir):
     blocks = pl.encode_table(src, columns=["event_id", "props_map"]).persist()
     d = pl.decode_blocks(blocks)
     return d.select("event_id", F.explode("props_map").alias("mkey", "mval"))
+
+
+def q_roundtrip_float_bss(spark, sf_dir):
+    """BYTE_STREAM_SPLIT under block compression (r3): a full-precision
+    double column (sqrt(value + event_id) — NOT
+    k-decimal, so the DECFLOAT codec can't claim it) encodes with the selector's sampled trial-compression choice
+    (bss wins when its byte planes gzip better than PLAIN) and GZIP on
+    every block.  Write-side BSS exceeds reference support — fastparquet
+    raises on encoding 9 (BYTE_STREAM_SPLIT) at write.  The bss choice
+    itself is asserted in tests/test_bss_selector.py and surfaces in the
+    codec_choices driver row."""
+    src = (_events_source(spark, sf_dir)
+           .withColumn("fval", F.sqrt(F.col("value") + F.col("event_id"))))
+    blocks = pl.encode_table(src, columns=["event_id", "fval"],
+                             compression="GZIP").persist()
+    d = pl.decode_blocks(blocks)
+    return d.select("event_id", "fval")
 
 
 def q_windowed_rollup(spark, sf_dir):
@@ -358,10 +408,22 @@ def q_simhash_pairs(spark, sf_dir):
 # rows-only (no SQL-expressible oracle): codec choice metrics, winnowing,
 # multimodal feature plumbing
 def q_codec_choices(spark, sf_dir):
-    return (_doc_blocks(spark, sf_dir)
-            .groupBy(F.col("column").alias("col_name"), "codec")
-            .agg(F.count(F.lit(1)).alias("n_blocks"),
-                 F.sum("encoded_size").alias("enc_bytes")))
+    """Codec-choice metrics over the documents store plus the GZIP float
+    store (shows bss chosen for full-precision doubles under block
+    compression)."""
+    doc = (_doc_blocks(spark, sf_dir)
+           .groupBy(F.col("column").alias("col_name"), "codec")
+           .agg(F.count(F.lit(1)).alias("n_blocks"),
+                F.sum("encoded_size").alias("enc_bytes")))
+    flt = (pl.encode_table(
+        _events_source(spark, sf_dir)
+        .withColumn("fval", F.sqrt(F.col("value") + F.col("event_id"))),
+        columns=["fval"], compression="GZIP")
+        .groupBy(F.concat(F.lit("gzip:"), "column").alias("col_name"),
+                 "codec")
+        .agg(F.count(F.lit(1)).alias("n_blocks"),
+             F.sum("encoded_size").alias("enc_bytes")))
+    return doc.unionByName(flt)
 
 
 def q_winnow_fingerprint(spark, sf_dir):
@@ -389,8 +451,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_decoded": q_q1_pricing_decoded,
         "q1_rollup": q_q1_rollup,
         "roundtrip_embeddings": q_roundtrip_embeddings,
+        "roundtrip_tags_array": q_roundtrip_tags_array,
+        "roundtrip_nested_list": q_roundtrip_nested_list,
         "roundtrip_props_map": q_roundtrip_props_map,
         "roundtrip_struct": q_roundtrip_struct,
+        "roundtrip_float_bss": q_roundtrip_float_bss,
         "merge_count": q_merge_count,
         "windowed_rollup": q_windowed_rollup,
         "token_count": q_token_count,
@@ -489,6 +554,28 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_struct":
             "SELECT event_id, user_id AS uid, event_type AS etype "
             "FROM events",
+        "roundtrip_tags_array": """
+            SELECT event_id, 0::INT AS idx, 'uid' AS k, user_id AS v
+            FROM events
+            UNION ALL
+            SELECT event_id, 1::INT, 'etyl', length(event_type)
+            FROM events""",
+        "roundtrip_nested_list": """
+            WITH base AS (
+              SELECT event_id,
+                     [[user_id], range(0, user_id % 3 + 1)] AS ll
+              FROM events),
+            outer_u AS (
+              SELECT event_id,
+                     unnest(list_transform(range(1, len(ll) + 1),
+                            i -> {'i': i - 1, 'l': ll[i]})) AS u
+              FROM base)
+            SELECT event_id, CAST(u.i AS INT) AS i,
+                   CAST(w.j AS INT) AS j, w.v AS val
+            FROM (SELECT event_id, u,
+                         unnest(list_transform(range(1, len(u.l) + 1),
+                                j -> {'j': j - 1, 'v': u.l[j]})) AS w
+                  FROM outer_u)""",
         "merge_count":
             "SELECT count(*)::BIGINT AS n_rows, "
             "count(DISTINCT doc_id)::BIGINT AS n_docs FROM documents",
@@ -497,6 +584,10 @@ def oracle_sql() -> dict[str, str]:
                    regexp_extract(props, '"([^"]+)"', 1) AS mkey,
                    regexp_extract(props, ': (-?[0-9]+)', 1)::INT AS mval
             FROM events""",
+        # sqrt is IEEE-754 correctly rounded in BOTH engines (java
+        # Math.sqrt / libm), so the full-precision doubles compare exactly
+        "roundtrip_float_bss":
+            "SELECT event_id, sqrt(value + event_id) AS fval FROM events",
         "windowed_rollup": """
             SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
                    event_type,

@@ -6,10 +6,13 @@ fastparquet/core.py:430-588 ``read_col``) as a self-contained *block*:
 one blob per (partition, column) that carries its own header, definition
 levels, and payload — no thrift, no external footer.
 
-Block layout (little-endian):
-    magic  b"PQSB" | version u8 | codec u8 | compression u8 | dtype u8 |
+Block layout (little-endian), version 2:
+    magic  b"PQSB" | version u8 | codec u8 | compression u8 | dtype u16 |
     n_values u32 | n_nulls u32 | raw_len u64 |
     [compressed] payload
+
+(version 1 blocks — dtype u8, one nesting level — still decode; v2 widened
+the dtype field so composed nested ids like list<list<T>> fit.)
 
 Payload when n_nulls > 0:
     u32 def_len | RLE/BP-hybrid width-1 stream of notnull flags
@@ -29,7 +32,7 @@ from ..kernels import (bitpack, compression, delta, dictionary, fsst,
                        hexpack, linedict, plain, rle)
 
 MAGIC = b"PQSB"
-VERSION = 1
+VERSION = 2
 
 # codec ids
 PLAIN = 0
@@ -110,31 +113,46 @@ def spark_safe_arrow_type(dt: int) -> pa.DataType:
             "source to int64/decimal before encoding")
     return arrow_type_for_dtype_id(dt)
 
-# list<child>: dtype id = DT_LIST_BASE + child dtype id (one nesting level —
-# the reference's own writer can't write nested data at all, writer.py:598;
-# decode-side LIST parity maps fastparquet's Dremel assembly
-# cencoding.pyx:431-494)
+# list<child>: dtype id = DT_LIST_BASE + child dtype id, COMPOSABLE to any
+# depth in the u16 header field: list<list<int64>> = 200, list<map<...>> =
+# 230..277 (decode-side parity with fastparquet's arbitrary-depth Dremel
+# assembly, cencoding.pyx:431-494; the reference's own writer can't write
+# nested data at all, writer.py:598).  Decomposition is unambiguous: the
+# map range [130, 178) never collides with any composed list id (primitive
+# ids < 16, so single-list ids are 100-115 and doubly-composed ids >= 200).
 DT_LIST_BASE = 100
 
-# map<k,v> (one nesting level, primitive values; decode-side parity with
-# fastparquet's MAP k/v zip, core.py:620-631): dtype id packs the key kind
-# and value dtype into the single u8 the block header carries.  Keys are
-# limited to the kinds parquet maps use in practice.
+# map<k,v> (primitive values; decode-side parity with fastparquet's MAP
+# k/v zip, core.py:620-631): dtype id packs the key kind and value dtype
+# as base + key_idx*16 + val_dt.  Keys are limited to the kinds parquet
+# maps use in practice; values must stay primitive (val_dt < 16) or the
+# packing would collide.
 DT_MAP_BASE = 130
 _MAP_KEY_DTS = (DT_INT64, DT_INT32, DT_STRING)
+DT_MAP_MAX = DT_MAP_BASE + len(_MAP_KEY_DTS) * 16  # exclusive
+
+
+def _is_map_dt(dt: int) -> bool:
+    return DT_MAP_BASE <= dt < DT_MAP_MAX
+
+
+def _is_list_dt(dt: int) -> bool:
+    return dt >= DT_LIST_BASE and not _is_map_dt(dt)
 
 
 def _map_dtype_id(key_dt: int, val_dt: int) -> int:
     if key_dt not in _MAP_KEY_DTS:
         raise TypeError(f"map key dtype {key_dt} unsupported "
                         f"(need one of {_MAP_KEY_DTS})")
-    if val_dt >= DT_LIST_BASE:
-        raise TypeError("map values must be primitive (one nesting level)")
+    if val_dt >= 16:
+        raise TypeError(
+            "map values must be primitive (nested map values would "
+            "overflow the 16-slot value packing)")
     return DT_MAP_BASE + _MAP_KEY_DTS.index(key_dt) * 16 + val_dt
 
 
 def arrow_type_for_dtype_id(dt: int) -> pa.DataType:
-    if dt >= DT_MAP_BASE:
+    if _is_map_dt(dt):
         key_dt = _MAP_KEY_DTS[(dt - DT_MAP_BASE) // 16]
         val_dt = (dt - DT_MAP_BASE) % 16
         return pa.map_(_DT_ARROW[key_dt], _DT_ARROW[val_dt])
@@ -249,8 +267,8 @@ def _from_int_view(values: np.ndarray, dt: int) -> pa.Array:
 def _encode_values(arr: pa.Array, dt: int, codec: int,
                    compressed: bool = False) -> bytes:
     """Encode a *non-null* arrow array with the given codec."""
-    if codec == MAP or dt >= DT_MAP_BASE:
-        if codec != MAP or dt < DT_MAP_BASE:
+    if codec == MAP or _is_map_dt(dt):
+        if codec != MAP or not _is_map_dt(dt):
             raise TypeError("MAP codec and map dtype go together")
         from . import selector  # deferred: selector imports this module
         n = len(arr)
@@ -267,8 +285,8 @@ def _encode_values(arr: pa.Array, dt: int, codec: int,
         return (np.uint32(n).tobytes() + rebased.tobytes()
                 + np.uint32(len(key_block)).tobytes() + key_block
                 + val_block)
-    if codec == LIST or dt >= DT_LIST_BASE:
-        if codec != LIST or dt < DT_LIST_BASE:
+    if codec == LIST or _is_list_dt(dt):
+        if codec != LIST or not _is_list_dt(dt):
             raise TypeError("LIST codec and list dtype go together")
         from . import selector  # deferred: selector imports this module
         if pa.types.is_large_list(arr.type):
@@ -460,7 +478,8 @@ def encode_block(arr: pa.Array, codec: int, comp: int = compression.UNCOMPRESSED
     body = compression.compress(raw, comp)
     header = (
         MAGIC
-        + bytes([VERSION, codec, comp, dt])
+        + bytes([VERSION, codec, comp])
+        + np.uint16(dt).tobytes()
         + np.uint32(n).tobytes()
         + np.uint32(n_nulls).tobytes()
         + np.uint64(len(raw)).tobytes()
@@ -472,12 +491,22 @@ def decode_block(block: bytes) -> pa.Array:
     """Decode a block -> arrow array (with validity restored)."""
     if block[:4] != MAGIC:
         raise ValueError("bad block magic")
+    version = block[4]
     codec = block[5]
     comp = block[6]
-    dt = block[7]
-    n = int(np.frombuffer(block[8:12], dtype="<u4")[0])
-    n_nulls = int(np.frombuffer(block[12:16], dtype="<u4")[0])
-    raw = compression.decompress(block[24:], comp)
+    if version == 1:  # u8 dtype, 24-byte header
+        dt = block[7]
+        n = int(np.frombuffer(block[8:12], dtype="<u4")[0])
+        n_nulls = int(np.frombuffer(block[12:16], dtype="<u4")[0])
+        body = block[24:]
+    elif version == 2:  # u16 dtype (nested composition), 25-byte header
+        dt = int(np.frombuffer(block[7:9], dtype="<u2")[0])
+        n = int(np.frombuffer(block[9:13], dtype="<u4")[0])
+        n_nulls = int(np.frombuffer(block[13:17], dtype="<u4")[0])
+        body = block[25:]
+    else:
+        raise ValueError(f"unsupported block version {version}")
+    raw = compression.decompress(body, comp)
     pos = 0
     if n_nulls:
         def_len = int(np.frombuffer(raw[:4], dtype="<u4")[0])

@@ -300,6 +300,11 @@ def _metrics_json(metrics: dict) -> str:
 
 
 STRUCT_NOTNULL = "__notnull"
+# marker path segment for the element level of a list<struct<...>> column:
+# each struct leaf under a list becomes its own ARRAY column (Dremel
+# striping — repeated-group leaves stripe into per-leaf columns), aligned
+# element-by-element, plus an element-validity array under the marker
+LIST_ITEM = "__item"
 # physical separator for flattened struct paths while the data moves
 # through Spark: pyspark's own applyInArrow resolves `df[name]` per
 # column, and a literal dot would parse as struct-field access inside
@@ -324,8 +329,16 @@ def _flatten_structs(df: DataFrame, cols: list[str]):
     produce nested at all, writer.py:598).  A ``<col>.__notnull`` boolean
     records struct-level validity so NULL structs survive the roundtrip
     (the dotted-flat model otherwise can't distinguish a null struct from
-    a struct of nulls — this is the def-level bit in parquet terms)."""
-    from pyspark.sql.types import StructType as SparkStruct
+    a struct of nulls — this is the def-level bit in parquet terms).
+
+    ``array<struct<...>>`` columns stripe Dremel-style: every struct leaf
+    under the list becomes its own ``array<leaf>`` column under the
+    ``LIST_ITEM`` marker, aligned element-by-element, plus an
+    element-validity boolean array (the repetition/definition pair of a
+    repeated group).  Recursion handles struct-in-struct and
+    struct-in-list-in-struct to any depth; ``reassemble_structs`` re-zips
+    the leaf arrays back into ``array<struct>`` on decode."""
+    from pyspark.sql.types import ArrayType, StructType as SparkStruct
 
     out_cols: list[str] = []
     changed = False
@@ -340,10 +353,26 @@ def _flatten_structs(df: DataFrame, cols: list[str]):
                 name = f"{c}{FLAT_SEP}{f.name}"
                 df = df.withColumn(name, F.col(f"`{c}`").getField(f.name))
                 out_cols.append(name)
+        elif isinstance(dt, ArrayType) and isinstance(dt.elementType,
+                                                      SparkStruct):
+            changed = True
+            base = F.col(f"`{c}`")
+            nn = f"{c}{FLAT_SEP}{LIST_ITEM}{FLAT_SEP}{STRUCT_NOTNULL}"
+            df = df.withColumn(nn, F.transform(base, lambda x: x.isNotNull()))
+            out_cols.append(nn)
+            for f in dt.elementType.fields:
+                name = f"{c}{FLAT_SEP}{LIST_ITEM}{FLAT_SEP}{f.name}"
+                # closure factory, NOT a default arg: pyspark reads the
+                # lambda arity, and a second parameter would make it pass
+                # (element, index) instead of the element alone
+                def getter(fn):
+                    return lambda x: x.getField(fn)
+                df = df.withColumn(name, F.transform(base, getter(f.name)))
+                out_cols.append(name)
         else:
             out_cols.append(c)
     if changed:
-        return _flatten_structs(df, out_cols)  # nested structs recurse
+        return _flatten_structs(df, out_cols)  # nested levels recurse
     return df, out_cols
 
 
@@ -373,16 +402,77 @@ def reassemble_structs(df: DataFrame) -> DataFrame:
             full = f"{prefix}{head}"
             subs = children[head]
             if subs:
-                inner = build(full + ".", subs)
-                st = F.struct(*inner)
-                if f"{full}.{STRUCT_NOTNULL}" in df.columns:
-                    st = F.when(F.col(f"`{full}.{STRUCT_NOTNULL}`"), st)
-                exprs.append(st.alias(out_name))
+                if all(s.split(".", 1)[0] == LIST_ITEM for s in subs):
+                    exprs.append(
+                        _rebuild_list_struct(full, subs).alias(out_name))
+                else:
+                    inner = build(full + ".", subs)
+                    st = F.struct(*inner)
+                    if f"{full}.{STRUCT_NOTNULL}" in df.columns:
+                        st = F.when(F.col(f"`{full}.{STRUCT_NOTNULL}`"), st)
+                    exprs.append(st.alias(out_name))
             else:
                 exprs.append(F.col(f"`{full}`").alias(out_name))
         return exprs
 
     return df.select(*build("", list(df.columns)))
+
+
+def _rebuild_list_struct(full: str, subs: list[str]):
+    """Re-zip the striped leaf arrays of one ``array<struct>`` column back
+    into the nested type: ``arrays_zip`` aligns every leaf element-wise
+    (indexed aliases — leaf paths contain dots), then a ``transform``
+    rebuilds the element struct honoring each level's ``__notnull`` bit.
+    Struct-in-struct under the list recurses through the nested
+    ``LIST_ITEM`` markers the flattening produced."""
+    rel = [s.split(".", 1)[1] for s in subs]  # strip the "__item." marker
+    leafmap = {r: f"f{i}" for i, r in enumerate(rel)}
+    zipped = F.arrays_zip(*[
+        F.col(f"`{full}.{LIST_ITEM}.{r}`").alias(leafmap[r]) for r in rel])
+
+    def build_elem(z, prefix: str, names: list[str]):
+        children: dict[str, list[str]] = {}
+        order: list[str] = []
+        for n in names:
+            head = n.split(".", 1)[0]
+            if head not in children:
+                children[head] = []
+                order.append(head)
+            if "." in n:
+                children[head].append(n.split(".", 1)[1])
+        exprs = []
+        for head in order:
+            if head == STRUCT_NOTNULL:
+                continue
+            out_name = head.replace(META_ESC, ".")
+            inner = children[head]
+            if not inner:
+                exprs.append(z.getField(leafmap[f"{prefix}{head}"])
+                             .alias(out_name))
+                continue
+            # a nested struct field under the list always arrives through
+            # its own LIST_ITEM marker (flattening treats the striped
+            # array<struct> column uniformly); within one element the
+            # marker is consumed by the outer zip
+            if any(s.split(".", 1)[0] != LIST_ITEM for s in inner):
+                raise ValueError(
+                    f"unexpected flat layout under {full}.{prefix}{head}")
+            inner_names = [s.split(".", 1)[1] for s in inner]
+            inner_prefix = f"{prefix}{head}.{LIST_ITEM}."
+            st = F.struct(*build_elem(z, inner_prefix, inner_names))
+            nn = f"{inner_prefix}{STRUCT_NOTNULL}"
+            if nn in leafmap:
+                st = F.when(z.getField(leafmap[nn]), st)
+            exprs.append(st.alias(out_name))
+        return exprs
+
+    def elem(z):
+        st = F.struct(*build_elem(z, "", rel))
+        if STRUCT_NOTNULL in leafmap:
+            st = F.when(z.getField(leafmap[STRUCT_NOTNULL]), st)
+        return st
+
+    return F.transform(zipped, elem)
 
 
 def _with_row_hash(df: DataFrame, cols: list[str]) -> DataFrame:

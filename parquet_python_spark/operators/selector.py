@@ -61,11 +61,12 @@ def choose(arr: pa.Array, allow_fsst: bool = True,
         arr = arr.combine_chunks()
     dt = enc.dtype_id_for_arrow(arr.type)
     n = len(arr)
-    if dt >= enc.DT_MAP_BASE:
+    if enc._is_map_dt(dt):
         # key/value codecs are chosen recursively inside the MAP encoder
         return Choice(enc.MAP, dt, n, {"map": True})
     if dt >= enc.DT_LIST_BASE:
         # child codec is chosen recursively inside the LIST encoder
+        # (covers any nesting depth: list ids compose, e.g. 200 = list<list>)
         return Choice(enc.LIST, dt, n, {"list": True})
     vals = arr.drop_null() if arr.null_count else arr
     nv = len(vals)
