@@ -874,26 +874,77 @@ def overwrite_partitions(df: DataFrame, path: str,
     cols = columns or [c for c in union.columns if c not in _HELPER_COLS]
     new_blocks = encode_table(part.assign_part_keys(union, plan), cols,
                               target_rows, page_bytes, compression)
-    keep_blocks = blocks.join(aff_keys, "part_key", "left_anti")
-    return _commit_blocks_rewrite(spark, path, keep_blocks.unionByName(new_blocks))
+    return _commit_blocks_delta(spark, path, aff_keys, new_blocks)
 
 
-def _commit_blocks_rewrite(spark: SparkSession, path: str,
-                           merged: DataFrame) -> dict:
-    """Full-store rewrite commit: write to a temp dir, swap, rebuild
-    lineage.  Local-directory rename here; production would be an Iceberg
-    overwrite commit (atomic snapshot swap on object storage)."""
-    import shutil
+def _uri_to_local(uri: str) -> str:
+    return uri[7:] if uri.startswith("file://") else uri
 
-    tmp = f"{path}/_rewrite_tmp"
-    merged.write.mode("overwrite").option("compression", "none").parquet(f"{tmp}/blocks")
-    shutil.rmtree(f"{path}/blocks", ignore_errors=True)
-    shutil.move(f"{tmp}/blocks", f"{path}/blocks")
-    shutil.rmtree(tmp, ignore_errors=True)
-    # drop Spark's cached file listing for the swapped directory
-    spark.catalog.refreshByPath(f"{path}/blocks")
-    written = spark.read.parquet(f"{path}/blocks")
-    lineage_from_blocks(written).write.mode("overwrite").parquet(f"{path}/lineage")
+
+def _commit_blocks_delta(spark: SparkSession, path: str,
+                         affected_keys: DataFrame,
+                         new_blocks: DataFrame | None = None) -> dict:
+    """File-granular maintenance commit: O(affected + new), never O(store).
+
+    ``affected_keys`` (a one-column ``part_key`` frame) names the parts
+    whose blocks leave the store; ``new_blocks`` (part_keys ⊆ affected)
+    are their replacements.  Parquet part-files holding ONLY unaffected
+    parts are left untouched on disk — byte-identical, never re-read;
+    a file that mixes affected and surviving parts has its surviving
+    blocks rewritten into a new file (the surviving blocks are copied
+    verbatim, no decode).  Lineage updates by part_key delta: affected
+    rows drop, replacement rows come from the newly written files only —
+    survivors keep their existing rollups.
+
+    Commit order — write new files, delete dead files, swap lineage —
+    keeps every surviving row live in at least one committed file at all
+    times; a crash between write and delete leaves duplicate parts that
+    decode rejects LOUDLY (duplicate (column, page_id) guard) instead of
+    silently double-counting.  The local-FS delete models an Iceberg
+    snapshot commit (production would swap a manifest of live files
+    atomically instead of unlinking).  Reference parity: fastparquet's
+    ``remove_row_groups`` touches only ``_metadata`` and leaves data
+    files alone (api.py:415-574)."""
+    import os
+
+    bdir = f"{path}/blocks"
+    affected_keys = affected_keys.select("part_key").distinct()
+    blocks = spark.read.parquet(bdir).withColumn("_file", F.input_file_name())
+    aff_uris = [r["_file"] for r in
+                (blocks.join(F.broadcast(affected_keys), "part_key",
+                             "left_semi")
+                 .select("_file").distinct().collect())]
+    to_write = None
+    if aff_uris:
+        to_write = (blocks.where(F.col("_file").isin(aff_uris))
+                    .join(F.broadcast(affected_keys), "part_key", "left_anti")
+                    .drop("_file"))
+    if new_blocks is not None:
+        to_write = (new_blocks if to_write is None
+                    else to_write.unionByName(new_blocks))
+    before = _list_part_files(bdir)
+    new_files: list[str] = []
+    if to_write is not None:
+        to_write.write.mode("append").option("compression",
+                                             "none").parquet(bdir)
+        new_files = sorted(_list_part_files(bdir) - before)
+    for u in aff_uris:
+        os.remove(_uri_to_local(u))
+    spark.catalog.refreshByPath(bdir)
+    # lineage delta: drop affected rows, add rollups of the NEW parts only
+    # (survivor parts moved files but their blocks — and rollups — are
+    # unchanged); tiny per-part table, materialized driver-side before its
+    # directory is overwritten
+    old = read_lineage(spark, path)
+    old_local = spark.createDataFrame(old.toPandas(), schema=old.schema)
+    kept_lin = old_local.join(F.broadcast(affected_keys), "part_key",
+                              "left_anti")
+    if new_files:
+        replaced = (spark.read.parquet(*new_files)
+                    .join(F.broadcast(affected_keys), "part_key",
+                          "left_semi"))
+        kept_lin = kept_lin.unionByName(lineage_from_blocks(replaced))
+    kept_lin.write.mode("overwrite").parquet(f"{path}/lineage")
     agg = read_lineage(spark, path).agg(
         F.count(F.lit(1)).alias("parts"), F.sum("n_rows").alias("rows")).collect()[0]
     return {"parts": agg["parts"], "rows": int(agg["rows"] or 0)}
@@ -906,9 +957,7 @@ def remove_parts(spark: SparkSession, path: str,
     everything else is untouched."""
     keys = spark.createDataFrame([(int(k),) for k in part_keys],
                                  "part_key long")
-    kept = read_blocks(spark, path).join(F.broadcast(keys),
-                                         "part_key", "left_anti")
-    return _commit_blocks_rewrite(spark, path, kept)
+    return _commit_blocks_delta(spark, path, keys)
 
 
 def remove_repos(spark: SparkSession, path: str, repos: list[str],
@@ -952,9 +1001,7 @@ def remove_repos(spark: SparkSession, path: str, repos: list[str],
         cols = [c for c in retained.columns if c not in _HELPER_COLS]
         new_blocks = encode_table(retained, cols, target_rows, page_bytes,
                                   compression)
-    kept = blocks.join(F.broadcast(aff_keys), "part_key", "left_anti")
-    merged = kept if new_blocks is None else kept.unionByName(new_blocks)
-    return _commit_blocks_rewrite(spark, path, merged)
+    return _commit_blocks_delta(spark, path, aff_keys, new_blocks)
 
 
 def compact_store(spark: SparkSession, path: str,
@@ -994,8 +1041,7 @@ def compact_store(spark: SparkSession, path: str,
     cols = [c for c in rows.columns if c not in _HELPER_COLS]
     new_blocks = encode_table(rows, cols, target_rows, page_bytes,
                               compression)
-    kept = blocks.join(F.broadcast(frag), "part_key", "left_anti")
-    _commit_blocks_rewrite(spark, path, kept.unionByName(new_blocks))
+    _commit_blocks_delta(spark, path, frag, new_blocks)
     after = (read_blocks(spark, path)
              .join(F.broadcast(frag), "part_key", "left_semi")
              .agg(F.coalesce(F.sum("encoded_size"), F.lit(0))).collect()[0][0])
