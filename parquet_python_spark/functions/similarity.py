@@ -8,6 +8,8 @@ big side never shuffles.
 """
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -220,6 +222,91 @@ def cosine_topk_ivf(df: DataFrame, queries: DataFrame, k: int = 5,
         q0 = q0.select("q_id", "va", F.explode(probes).alias("bucket"))
     qs = F.broadcast(q0)
     pairs = data.join(qs, "bucket").where(F.col("q_id") != F.col("n_id"))
+    scored = with_cosine(pairs, "va", "vb", digits=digits)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("q_id", "n_id", "cos_sim", "rank"))
+
+
+def _spherical_kmeans(X, k: int, iters: int = 10, seed: int = 0):
+    """Deterministic spherical k-means over row-normalized vectors (Lloyd
+    with cosine assignment, fixed iteration count + seed).  Driver-side on
+    a SAMPLE — never the full table; numpy only."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    C = Xn[rng.choice(len(Xn), size=min(k, len(Xn)), replace=False)].copy()
+    for _ in range(iters):
+        a = np.argmax(Xn @ C.T, axis=1)
+        for j in range(len(C)):
+            members = Xn[a == j]
+            if len(members):
+                C[j] = members.sum(axis=0)
+        C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return C
+
+
+def cosine_topk_ivf_kmeans(df: DataFrame, queries: DataFrame, k: int = 5,
+                           id_col: str = "vec_id", vec_col: str = "embedding",
+                           q_id_col: str = "q_id", n_centroids: int = 16,
+                           n_probe: int = 4, sample_rows: int = 4096,
+                           sample_mod: int = 1, seed: int = 0,
+                           digits: int = 3) -> DataFrame:
+    """Data-ADAPTIVE IVF: coarse buckets from sampled k-means centroids.
+
+    The sign-bit quantizers (``cosine_topk_ivf`` / ``cosine_topk_lsh``)
+    are data-independent — on real, CLUSTERED embedding corpora whole
+    clusters share a sign pattern and one bucket swallows them (skewed
+    bucket → skewed join task at 100 TB).  Here the coarse quantizer is
+    learned from the data: a deterministic hash-thinned sample (
+    ``xxhash64(id) %% sample_mod == 0``, capped at ``sample_rows`` — set
+    ``sample_mod`` ≫ 1 at scale so the sample scan is cheap) collects
+    driver-side, spherical k-means fits ``n_centroids``, and the (tiny)
+    centroid matrix ships in the UDF closure.  Every vector is assigned
+    to its max-cosine centroid by one matmul per Arrow batch; queries
+    probe their ``n_probe`` nearest centroids.  The candidate join stays
+    an equi-join on bucket id, and k-means balance bounds the largest
+    bucket (asserted on a clustered fixture in tests/test_functions.py).
+    IVF-Flat as in FAISS/Spark-ANN practice; scoring reuses the exact
+    JVM cosine fold."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    samp = df.select(vec_col)
+    if sample_mod > 1:
+        samp = df.where(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0
+        ).select(vec_col)
+    sample = samp.limit(sample_rows).toPandas()
+    X = np.array(sample[vec_col].tolist(), dtype=np.float64)
+    C = _spherical_kmeans(X, n_centroids, seed=seed)
+
+    @F.pandas_udf(IntegerType())
+    def assign(v: pd.Series) -> pd.Series:
+        M = np.array(v.tolist(), dtype=np.float64)
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(Mn @ C.T, axis=1).astype(np.int32))
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def probe(v: pd.Series) -> pd.Series:
+        M = np.array(v.tolist(), dtype=np.float64)
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        S = Mn @ C.T
+        p = min(n_probe, S.shape[1])
+        top = np.argpartition(-S, p - 1, axis=1)[:, :p].astype(np.int32)
+        return pd.Series(list(top))
+
+    from ._parallel import ensure_parallelism
+
+    data = ensure_parallelism(df).select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("vb"),
+        assign(F.col(vec_col)).alias("bucket"))
+    q0 = queries.select(
+        F.col(q_id_col).alias("q_id"), F.col(vec_col).alias("va"),
+        F.explode(probe(F.col(vec_col))).alias("bucket"))
+    pairs = data.join(F.broadcast(q0), "bucket").where(
+        F.col("q_id") != F.col("n_id"))
     scored = with_cosine(pairs, "va", "vb", digits=digits)
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
