@@ -119,6 +119,9 @@ def _build_table(sample: np.ndarray) -> tuple[list[np.ndarray], list[bytes]]:
     expansions: list[bytes] = []
     luts: list[np.ndarray] = []
     exp_of: dict[int, bytes] = {}
+    # byte length of each symbol id's expansion (base bytes = 1; SENTINEL
+    # never appears in a candidate pair because of the `ok` mask)
+    exp_len = np.ones(512, dtype=np.int64)
     stream = sample
     next_id = BASE
     for _ in range(ROUNDS):
@@ -131,26 +134,33 @@ def _build_table(sample: np.ndarray) -> tuple[list[np.ndarray], list[bytes]]:
         counts = np.bincount(keys[ok], minlength=512 * 512)
         budget = MAX_MERGED - (next_id - BASE)
         # A merge saves (count - overhead) bytes; require a real win.
-        # argpartition: full argsort of the 512² count table costs more
-        # than the merge pass itself on small blocks
-        k = min(budget * 2, len(counts) - 1)
-        cand_top = np.argpartition(counts, -k)[-k:]
-        top = cand_top[np.argsort(counts[cand_top])[::-1]]
+        # Only pairs clearing the count-16 floor can be picked, and on
+        # small blocks they are FAR fewer than the 512² table — sorting
+        # just those beats an argpartition over the whole table
+        nz = np.flatnonzero(counts >= 16)
+        if len(nz) == 0:
+            luts.append(np.full(512 * 512, 0xFFFF, dtype=np.uint16))
+            continue
+        order = nz[np.argsort(counts[nz])[::-1]]
+        top = order[:budget * 2]
+        # vectorized candidate filter: expansion lengths via a length
+        # table instead of a per-key python/dict loop (the loop was the
+        # dominant fixed cost of small-block encodes)
+        xs, ys = top // 512, top % 512
+        pair_len = exp_len[xs] + exp_len[ys]
+        keep = top[pair_len <= 8][:budget]
         lut = np.full(512 * 512, 0xFFFF, dtype=np.uint16)
-        made = 0
-        for key in top:
-            if made >= budget or counts[key] < 16:
-                break
-            x, y = int(key) // 512, int(key) % 512
-            ex = exp_of.get(x, bytes([x]) if x < BASE else b"")
-            ey = exp_of.get(y, bytes([y]) if y < BASE else b"")
-            if len(ex) + len(ey) > 8:
-                continue
-            lut[key] = next_id
-            exp_of[next_id] = ex + ey
-            expansions.append(ex + ey)
-            next_id += 1
-            made += 1
+        made = len(keep)
+        if made:
+            lut[keep] = np.arange(next_id, next_id + made, dtype=np.uint16)
+            for key in keep:
+                x, y = int(key) // 512, int(key) % 512
+                ex = exp_of.get(x, bytes([x]) if x < BASE else b"")
+                ey = exp_of.get(y, bytes([y]) if y < BASE else b"")
+                exp_of[next_id] = ex + ey
+                expansions.append(ex + ey)
+                exp_len[next_id] = len(ex) + len(ey)
+                next_id += 1
         luts.append(lut)
         if made == 0:
             continue

