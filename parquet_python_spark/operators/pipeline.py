@@ -1018,49 +1018,147 @@ def remove_repos(spark: SparkSession, path: str, repos: list[str],
     return _commit_blocks_delta(spark, path, aff_keys, new_blocks)
 
 
+def recode_blocks(blocks: DataFrame, page_bytes: int = DEFAULT_PAGE_BYTES,
+                  compression=None) -> DataFrame:
+    """Fused decode→re-encode of whole parts over their ENCODED blocks.
+
+    compact_store's hot path.  The only exchange is the groupBy(part_key)
+    over compressed block rows (~0.1x raw bytes at measured ratios);
+    decode and re-encode run back-to-back inside ONE Arrow UDF, so raw
+    bytes never cross a shuffle or the JVM↔Python boundary.  The previous
+    shape (``decode_blocks`` → ``encode_table``) moved ~2x raw bytes:
+    decoded rows out of one python UDF, through a raw-row hash exchange,
+    into another (measured 25 s vs 6 s for the same bench compaction).
+
+    ``compression=None`` preserves each column's incoming block codec;
+    a string / per-column dict overrides it (same forms as
+    ``encode_table``).
+
+    Lineage integrity: a part's order-independent row-hash is the XOR of
+    its incoming blocks' ``row_hash`` values (xor is associative and
+    page-split-independent — the same rollup ``lineage_from_blocks``
+    computes), carried onto the part's first new block.
+    """
+    def recode_group(key: tuple, tbl: pa.Table) -> pa.Table:
+        part_key = int(key[0].as_py() if hasattr(key[0], "as_py") else key[0])
+        if tbl.num_rows == 0:
+            return _ARROW_BLOCKS_SCHEMA.empty_table()
+        names = tbl["column"].to_pylist()
+        pages = tbl["page_id"].to_pylist()
+        cidx = tbl["col_idx"].to_pylist()
+        comp_in = tbl["compression"].to_pylist()
+        blocks_col = tbl["block"].combine_chunks()
+        repos = set(tbl["repo"].to_pylist())
+        repo = repos.pop() if len(repos) == 1 else None
+        splits = set(tbl["split_id"].to_pylist())
+        split_id = int(splits.pop()) if len(splits) == 1 else 0
+        rh_total = int(np.bitwise_xor.reduce(
+            np.asarray(tbl["row_hash"].combine_chunks().fill_null(0),
+                       dtype=np.int64)
+            .view(np.uint64)).astype(np.int64))
+        per_col: dict[str, list] = {}
+        col_order: dict[str, int] = {}
+        col_comp: dict[str, str] = {}
+        for i, c in enumerate(names):
+            per_col.setdefault(c, []).append((pages[i], i))
+            col_order.setdefault(c, cidx[i])
+            col_comp.setdefault(c, comp_in[i])
+        ordered = sorted(per_col, key=lambda c: (col_order[c], c))
+        override = (_per_column_compression(compression, ordered)
+                    if compression is not None else None)
+        out: list[dict] = []
+        trial_hints: dict[str, dict] = {}
+        for ci, c in enumerate(ordered):
+            lst = per_col[c]
+            page_ids = [p for p, _ in lst]
+            if len(set(page_ids)) != len(page_ids):
+                raise ValueError(
+                    f"part has duplicate pages for column {c!r} — the same "
+                    "data was appended twice (use resume=True for retries, "
+                    "or merge_stores to consolidate overlapping stores)")
+            arrs = [enc.decode_block(blocks_col[i].as_py())
+                    for _, i in sorted(lst)]
+            arr_all = pa.concat_arrays(arrs) if len(arrs) > 1 else arrs[0]
+            n = len(arr_all)
+            comp_name = override[c] if override is not None else col_comp[c]
+            comp_id = comp.resolve(comp_name)
+            bpr = max(arr_all.nbytes / max(n, 1), 1.0)
+            rows_per_page = max(int(page_bytes / bpr), 1024)
+            for page_id, lo in enumerate(range(0, n, rows_per_page)):
+                hi = min(lo + rows_per_page, n)
+                arr = arr_all.slice(lo, hi - lo)
+                t0 = time.perf_counter()
+                choice = selector.choose(
+                    arr, compressed=comp_id != comp.UNCOMPRESSED,
+                    hints=trial_hints.setdefault(c, {}))
+                blk = enc.encode_block(arr, choice.codec, comp_id)
+                ms = (time.perf_counter() - t0) * 1000.0
+                mn, mx = _minmax_str(arr)
+                mn_n, mx_n = _minmax_num(arr, choice.dtype_id)
+                rh = rh_total if ci == 0 and page_id == 0 else 0
+                out.append(dict(
+                    part_key=part_key, repo=repo, split_id=split_id,
+                    page_id=page_id, col_idx=ci, column=c,
+                    codec=choice.codec_name, compression=comp_name,
+                    dtype_id=choice.dtype_id, n_values=hi - lo,
+                    n_nulls=int(arr.null_count), raw_size=int(arr.nbytes),
+                    encoded_size=len(blk), encode_ms=ms,
+                    min_s=mn, max_s=mx, min_num=mn_n, max_num=mx_n,
+                    row_hash=rh,
+                    metrics=_metrics_json(choice.metrics), block=blk,
+                ))
+        return pa.Table.from_pylist(out, schema=_ARROW_BLOCKS_SCHEMA)
+
+    return blocks.groupBy("part_key").applyInArrow(recode_group,
+                                                   BLOCKS_SCHEMA)
+
+
 def compact_store(spark: SparkSession, path: str,
                   max_pages_per_column: int = 8,
-                  target_rows: int = part.DEFAULT_TARGET_ROWS,
                   page_bytes: int = DEFAULT_PAGE_BYTES,
-                  compression: str = "UNCOMPRESSED") -> dict:
+                  compression=None) -> dict:
     """Re-encode fragmented parts whole — the LSM/Iceberg compaction step
     that pairs with the shuffle-encoded ingest strategy: ``strategy=
     "local"`` lands sub-blocks fast (no raw shuffle), compaction later
     restores the whole-part compression ratio off the ingest path.
 
-    A part is fragmented when any column holds more than
-    ``max_pages_per_column`` pages; those parts are decoded (the ONLY
-    shuffle is of their encoded bytes), re-encoded under the same
-    part_key, and swapped in.  Untouched parts are copied as raw blocks.
+    Fragmentation and the before/after byte metrics come from the LINEAGE
+    table (one tiny row per part: ``n_pages`` is the widest column's page
+    count summed over sub-block subgroups — an upper bound on any single
+    column's page count, so detection errs toward compacting), never from
+    a block-file scan: the metadata side of compaction is O(parts) driver
+    work, not O(store) executor scans (measured 9 s of the 22 s bench
+    compaction was before/after aggregates over block files).
+
+    Fragmented parts are recoded via the fused ``recode_blocks`` pass
+    (the ONLY exchange is of their encoded bytes; decode→re-encode
+    happens inside one Arrow UDF) under the same part_key, and swapped
+    in.  Untouched parts are left on disk.  ``compression=None``
+    preserves each column's incoming block codec.
     Returns {'parts_compacted', 'enc_bytes_before', 'enc_bytes_after'}.
     """
-    blocks = read_blocks(spark, path)
-    frag_keys = [r["part_key"] for r in
-                 (blocks.groupBy("part_key", "column")
-                  .agg(F.countDistinct("page_id").alias("np"))
-                  .groupBy("part_key").agg(F.max("np").alias("np"))
-                  .where(F.col("np") > max_pages_per_column)
-                  .select("part_key").collect())]
+    lin = (read_lineage(spark, path)
+           .select("part_key", "n_pages", "enc_bytes").toPandas())
+    frag_lin = lin[lin["n_pages"] > max_pages_per_column]
+    frag_keys = [int(k) for k in frag_lin["part_key"]]
     if not frag_keys:
         return {"parts_compacted": 0, "enc_bytes_before": 0,
                 "enc_bytes_after": 0}
+    before = int(frag_lin["enc_bytes"].sum())
     # materialized keys: every later consumer must not re-scan the
     # pre-rewrite file listing after the directory swap
-    frag = spark.createDataFrame([(int(k),) for k in frag_keys],
+    frag = spark.createDataFrame([(k,) for k in frag_keys],
                                  "part_key long")
-    aff = blocks.join(F.broadcast(frag), "part_key", "left_semi")
-    before = aff.agg(F.coalesce(F.sum("encoded_size"), F.lit(0))).collect()[0][0]
+    aff = read_blocks(spark, path).join(F.broadcast(frag), "part_key",
+                                        "left_semi")
     n_parts = len(frag_keys)
-    rows = decode_blocks(aff, keep_part_key=True)
-    cols = [c for c in rows.columns if c not in _HELPER_COLS]
-    new_blocks = encode_table(rows, cols, target_rows, page_bytes,
-                              compression)
+    new_blocks = recode_blocks(aff, page_bytes, compression)
     _commit_blocks_delta(spark, path, frag, new_blocks)
-    after = (read_blocks(spark, path)
-             .join(F.broadcast(frag), "part_key", "left_semi")
-             .agg(F.coalesce(F.sum("encoded_size"), F.lit(0))).collect()[0][0])
+    lin2 = (read_lineage(spark, path)
+            .select("part_key", "enc_bytes").toPandas())
+    after = int(lin2[lin2["part_key"].isin(set(frag_keys))]["enc_bytes"].sum())
     return {"parts_compacted": int(n_parts),
-            "enc_bytes_before": int(before), "enc_bytes_after": int(after)}
+            "enc_bytes_before": before, "enc_bytes_after": after}
 
 
 def merge_stores(spark: SparkSession, paths: list[str], out_path: str) -> dict:
