@@ -391,6 +391,15 @@ def q_knn_blas(spark, sf_dir):
     return similarity.cosine_topk_blas(emb, _knn_queries(emb), k=5)
 
 
+def q_near_dup(spark, sf_dir):
+    """Exact embedding-cosine near-duplicate pairs (blocked-BLAS triangle
+    self-join, τ=0.4 on round(cos,4)): the exactness tier of the dedup
+    family — no reference counterpart (fastparquet has no vector ops);
+    MinHash/SimHash/LSH are the sub-quadratic tiers."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.near_dup_pairs(emb, threshold=0.4, n_blocks=4)
+
+
 def q_knn_lsh(spark, sf_dir):
     # multi-table LSH: the recall tier (measured 0.95+ @5 even on these
     # isotropic embeddings); knn_ivf stays as the cheap single-table tier
@@ -470,6 +479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf": q_knn_ivf,
         "knn_lsh": q_knn_lsh,
         "knn_blas": q_knn_blas,
+        "near_dup": q_near_dup,
         "codec_choices": q_codec_choices,
         "simhash_pairs": q_simhash_pairs,
         "winnow_fingerprint": q_winnow_fingerprint,
@@ -780,6 +790,19 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY q_id
                                         ORDER BY cos_sim DESC, n_id ASC)::INT AS rank
               FROM pairs) WHERE rank <= 5""",
+        "near_dup": """
+            WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                          FROM embeddings),
+            pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                round(list_sum(list_transform(range(1, len(a.v) + 1),
+                        i -> a.v[i] * b.v[i]))
+                  / (sqrt(list_sum(list_transform(range(1, len(a.v) + 1),
+                        i -> a.v[i] * a.v[i])))
+                   * sqrt(list_sum(list_transform(range(1, len(b.v) + 1),
+                        i -> b.v[i] * b.v[i])))), 4) AS cos_sim
+              FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id)
+            SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.4""",
     }
 
 

@@ -312,3 +312,77 @@ def cosine_topk_ivf_kmeans(df: DataFrame, queries: DataFrame, k: int = 5,
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("q_id", "n_id", "cos_sim", "rank"))
+
+
+def near_dup_pairs(df: DataFrame, threshold: float = 0.9,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   n_blocks: int | None = None, digits: int = 4) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: every (id_a < id_b)
+    with round(cosine, digits) >= threshold.
+
+    The blocked self-join a training-data dedup pipeline runs when it must
+    be EXACT (the MinHash/SimHash/LSH tiers in ``functions.dedup`` trade
+    recall for sub-quadratic candidates): vectors land in ``n_blocks``
+    hash blocks; each unordered block pair (i <= j) becomes one task that
+    scores its cross cosine matrix with a single float64 matmul and emits
+    only the pairs clearing the threshold.  O(n^2) scoring is inherent to
+    exactness — what scales is the even spread: n*(B+1)/2-ish replicated
+    rows shuffle once, B(B+1)/2 independent tasks, no scored pair ever
+    crosses an exchange, and per-task memory is two blocks of vectors
+    (pick ``n_blocks`` so n/B vectors fit; the default grows blocks with
+    row count).  Thresholding on the ROUNDED value keeps the result
+    reproducible by an ANSI oracle (round(list_cosine_similarity(..)),
+    same digits) — unrounded boundaries differ in the last BLAS ulp.
+    """
+    import pyarrow as pa
+
+    if n_blocks is None:
+        n = df.count()
+        n_blocks = max(1, -(-n // 4096))  # ceil: blocks of <= 4096 vectors
+    B = int(n_blocks)
+    # block of each vector, then replicate to every unordered pair bucket
+    # (i, j): member of block b serves as side A of (b, j>=b) and side B
+    # of (i<b, b) — B copies per vector, the triangle-join replication
+    bid = F.pmod(F.xxhash64(F.col("_id")), F.lit(B)).cast("int")
+    buckets = F.array(*[
+        F.struct(F.least(F.col("_bid"), F.lit(j)).alias("bi"),
+                 F.greatest(F.col("_bid"), F.lit(j)).alias("bj"))
+        for j in range(B)])
+    rep = (df.select(F.col(id_col).alias("_id"),
+                     F.col(vec_col).cast("array<double>").alias("_v"))
+           .withColumn("_bid", bid)
+           .withColumn("_bkt", F.explode(F.array_distinct(buckets)))
+           .select(F.col("_bkt.bi").alias("bi"), F.col("_bkt.bj").alias("bj"),
+                   "_bid", "_id", "_v"))
+
+    out_schema = ("id_a long, id_b long, cos_sim double")
+
+    def score_bucket(key: tuple, tbl: pa.Table) -> pa.Table:
+        bi = int(key[0].as_py() if hasattr(key[0], "as_py") else key[0])
+        bj = int(key[1].as_py() if hasattr(key[1], "as_py") else key[1])
+        ids = np.asarray(tbl["_id"].combine_chunks(), dtype=np.int64)
+        bids = np.asarray(tbl["_bid"].combine_chunks(), dtype=np.int32)
+        V = np.array(tbl["_v"].combine_chunks().to_pylist(), dtype=np.float64)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        if bi == bj:  # intra-block: upper triangle of one matmul
+            S = Vn @ Vn.T
+            ia, ib = np.triu_indices(len(ids), k=1)
+            a_ids, b_ids = ids[ia], ids[ib]
+            cos = S[ia, ib]
+        else:
+            ma, mb = bids == bi, bids == bj
+            S = Vn[ma] @ Vn[mb].T
+            a_ids = np.repeat(ids[ma], int(mb.sum()))
+            b_ids = np.tile(ids[mb], int(ma.sum()))
+            cos = S.ravel()
+        cos = np.round(cos, digits)
+        keep = cos >= threshold
+        a_ids, b_ids, cos = a_ids[keep], b_ids[keep], cos[keep]
+        lo = np.minimum(a_ids, b_ids)
+        hi = np.maximum(a_ids, b_ids)
+        return pa.table({"id_a": pa.array(lo), "id_b": pa.array(hi),
+                         "cos_sim": pa.array(cos)})
+
+    return (rep.groupBy("bi", "bj")
+            .applyInArrow(score_bucket, out_schema)
+            .select("id_a", "id_b", "cos_sim"))

@@ -634,7 +634,7 @@ def _is_path_missing(exc: Exception) -> bool:
     return "PATH_NOT_FOUND" in msg or "Path does not exist" in msg
 
 
-def write_blockstore(blocks: DataFrame, path: str, mode: str = "append") -> None:
+def write_blockstore(blocks: DataFrame, path: str, mode: str = "append"):
     """Persist blocks + derived lineage (the `_metadata` analogue).
 
     Lineage is computed incrementally from the files this call just wrote —
@@ -644,6 +644,11 @@ def write_blockstore(blocks: DataFrame, path: str, mode: str = "append") -> None
     between the blocks write and the lineage write leaves lineage stale but
     never causes duplicate encodes.
 
+    Returns the merged lineage as a local pandas frame (O(parts) rows) so
+    callers can summarize the run without a read-back job — each small
+    Spark job here is a fixed per-ingest cost a micro-batch pipeline pays
+    every batch.
+
     Parquet-level compression is off: block payloads are already encoded
     (and optionally cramjam-compressed) — recompressing burns CPU for ~0%."""
     spark = blocks.sparkSession
@@ -652,7 +657,7 @@ def write_blockstore(blocks: DataFrame, path: str, mode: str = "append") -> None
     blocks.write.mode(mode).option("compression", "none").parquet(bdir)
     new_files = sorted(_list_part_files(bdir) - before)
     if not new_files:
-        return
+        return None
     new_lin = lineage_from_blocks(spark.read.parquet(*new_files))
     old = None
     if mode == "append":
@@ -686,7 +691,13 @@ def write_blockstore(blocks: DataFrame, path: str, mode: str = "append") -> None
                        F.max("status").alias("status")))
     else:
         merged = new_lin
-    merged.write.mode("overwrite").parquet(f"{path}/lineage")
+    # ONE job computes the rollup; the local copy comes back to the driver
+    # (tiny — one row per part) and is both written out and returned, so
+    # run_encode's summary does not re-list + re-read the lineage dir
+    merged_pd = merged.toPandas()
+    (spark.createDataFrame(merged_pd, schema=merged.schema)
+     .coalesce(1).write.mode("overwrite").parquet(f"{path}/lineage"))
+    return merged_pd
 
 
 def lineage_from_blocks(blocks: DataFrame) -> DataFrame:
@@ -846,17 +857,13 @@ def run_encode(df: DataFrame, path: str,
             assigned = assigned.join(F.broadcast(done), "part_key", "left_anti")
     encode = {"shuffle": encode_table, "local": encode_table_local}[strategy]
     blocks = encode(assigned, columns, target_rows, page_bytes, compression)
-    write_blockstore(blocks, path, mode="append")
-    lin = read_lineage(spark, path)
-    agg = lin.agg(
-        F.count(F.lit(1)).alias("parts"),
-        F.sum("n_rows").alias("rows"),
-        F.sum("raw_bytes").alias("raw_bytes"),
-        F.sum("enc_bytes").alias("enc_bytes"),
-    ).collect()[0]
-    return {"parts": agg["parts"], "rows": int(agg["rows"] or 0),
-            "raw_bytes": int(agg["raw_bytes"] or 0),
-            "enc_bytes": int(agg["enc_bytes"] or 0)}
+    lin_pd = write_blockstore(blocks, path, mode="append")
+    if lin_pd is None:  # nothing new (fully-resumed run): summarize store
+        lin_pd = read_lineage(spark, path).toPandas()
+    return {"parts": int(len(lin_pd)),
+            "rows": int(lin_pd["n_rows"].sum()),
+            "raw_bytes": int(lin_pd["raw_bytes"].sum()),
+            "enc_bytes": int(lin_pd["enc_bytes"].sum())}
 
 
 def overwrite_partitions(df: DataFrame, path: str,

@@ -217,3 +217,31 @@ def test_kmeans_ivf_clustered_recall_and_balance(spark, rng):
     sign_imbal = np.bincount(sign_codes, minlength=256).max() / len(X) * 256
     km_imbal = frac * 16
     assert km_imbal < sign_imbal / 4, (km_imbal, sign_imbal)
+
+
+def test_near_dup_exact_matches_bruteforce(spark, rng):
+    """Blocked-BLAS near-dup must equal the all-pairs JVM fold: same pair
+    set, same rounded cosines, each pair emitted exactly once even when a
+    pair's members land in different hash blocks."""
+    n, d = 120, 16
+    V = rng.normal(size=(n, d))
+    # plant near-duplicates across ids that hash to different blocks
+    V[7] = V[3] + rng.normal(scale=0.05, size=d)
+    V[101] = V[44] + rng.normal(scale=0.05, size=d)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>")
+    got = similarity.near_dup_pairs(df, threshold=0.8, n_blocks=5,
+                                    digits=4).toPandas()
+    # brute force via the deterministic JVM fold
+    a = df.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = df.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    ref = (similarity.with_cosine(pairs, "va", "vb", digits=4)
+           .where(F.col("cos_sim") >= 0.8)
+           .select("id_a", "id_b", "cos_sim").toPandas())
+    got_set = {(r.id_a, r.id_b, r.cos_sim) for r in got.itertuples()}
+    ref_set = {(r.id_a, r.id_b, r.cos_sim) for r in ref.itertuples()}
+    assert len(got) == len(got_set)  # no duplicate emission
+    assert got_set == ref_set
+    assert {(3, 7), (44, 101)} <= {(a_, b_) for a_, b_, _ in got_set}
