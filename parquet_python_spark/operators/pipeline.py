@@ -39,10 +39,11 @@ import pyarrow as pa
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
-    BinaryType, DoubleType, IntegerType, LongType, StringType, StructField,
-    StructType,
+    ArrayType, BinaryType, DoubleType, IntegerType, LongType, StringType,
+    StructField, StructType,
 )
 
+from ..kernels import bloom
 from ..kernels import compression as comp
 from ..plans import filters as filt
 from ..plans import partitioning as part
@@ -72,6 +73,7 @@ BLOCKS_SCHEMA = StructType([
     StructField("max_num", DoubleType(), True),
     StructField("row_hash", LongType(), True),
     StructField("metrics", StringType(), True),
+    StructField("bloom", ArrayType(LongType()), True),
     StructField("block", BinaryType(), False),
 ])
 
@@ -204,8 +206,34 @@ _ARROW_BLOCKS_SCHEMA = pa.schema([
     ("min_s", pa.string()), ("max_s", pa.string()),
     ("min_num", pa.float64()), ("max_num", pa.float64()),
     ("row_hash", pa.int64()), ("metrics", pa.string()),
+    ("bloom", pa.list_(pa.int64())),
     ("block", pa.binary()),
 ])
+
+# dtypes that carry a per-page Bloom filter for equality pruning: strings /
+# binary hash their utf-8 bytes, integer-view dtypes (ints, uints,
+# timestamps-as-µs, dates-as-days) their 8-byte little-endian value.
+# Floats/bools are excluded (range stats already prune bools; float
+# equality is a degenerate predicate).
+_BLOOM_STR_DTS = (enc.DT_STRING, enc.DT_BINARY)
+
+
+def _page_bloom(arr: pa.Array, dt: int) -> list[int] | None:
+    if dt in _BLOOM_STR_DTS:
+        return bloom.build(arr, True)
+    if dt in enc._INT_DTS:
+        t = arr.type
+        try:
+            if pa.types.is_timestamp(t):
+                arr = arr.cast(pa.timestamp("us")).cast(pa.int64())
+            elif pa.types.is_date32(t):
+                arr = arr.cast(pa.int32()).cast(pa.int64())
+            elif pa.types.is_duration(t):
+                arr = arr.cast(pa.duration("us")).cast(pa.int64())
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+            return None
+        return bloom.build(arr, False)
+    return None
 
 
 def _per_column_compression(compression, cols: list[str]) -> dict[str, str]:
@@ -285,7 +313,8 @@ def make_encode_group(cols: list[str], page_bytes: int = DEFAULT_PAGE_BYTES,
                     encoded_size=len(blk), encode_ms=ms,
                     min_s=mn, max_s=mx, min_num=mn_n, max_num=mx_n,
                     row_hash=rh,
-                    metrics=_metrics_json(choice.metrics), block=blk,
+                    metrics=_metrics_json(choice.metrics),
+                    bloom=_page_bloom(arr, choice.dtype_id), block=blk,
                 ))
         return pa.Table.from_pylist(out, schema=_ARROW_BLOCKS_SCHEMA)
 
@@ -1112,7 +1141,8 @@ def recode_blocks(blocks: DataFrame, page_bytes: int = DEFAULT_PAGE_BYTES,
                     encoded_size=len(blk), encode_ms=ms,
                     min_s=mn, max_s=mx, min_num=mn_n, max_num=mx_n,
                     row_hash=rh,
-                    metrics=_metrics_json(choice.metrics), block=blk,
+                    metrics=_metrics_json(choice.metrics),
+                    bloom=_page_bloom(arr, choice.dtype_id), block=blk,
                 ))
         return pa.Table.from_pylist(out, schema=_ARROW_BLOCKS_SCHEMA)
 
@@ -1403,6 +1433,89 @@ def _num_lit_expr(lits: dict):
             .otherwise(F.lit(lits["num"]).cast("double")))
 
 
+def _bloom_item_hashes(v) -> dict:
+    """(h1, h2) crc32 pairs per canonical rendering of one equality
+    literal, keyed like ``_prune_literals``: ``str`` (utf-8 / raw bytes),
+    ``int`` (plain integer view), ``ts`` (µs since epoch), ``days``.  A
+    None rendering keeps blocks of that dtype (can't refute)."""
+    import datetime
+
+    out = {"str": None, "int": None, "ts": None, "days": None}
+
+    def _ival(x):
+        try:
+            return bloom.hash_pair(int(x).to_bytes(8, "little", signed=True))
+        except (OverflowError, TypeError, ValueError):
+            return None
+
+    if isinstance(v, (str, bytes)):
+        out["str"] = bloom.hash_pair(
+            v.encode("utf-8") if isinstance(v, str) else v)
+        try:
+            t = pd.Timestamp(v)
+            out["ts"] = _ival(t.value // 1000)
+            if t.value % 86_400_000_000_000 == 0:
+                out["days"] = _ival(t.value // 86_400_000_000_000)
+        except (ValueError, OverflowError, TypeError):
+            pass
+    elif isinstance(v, bool):
+        pass  # bools carry no bloom
+    elif isinstance(v, (int, np.integer)):
+        out["int"] = _ival(v)
+    elif isinstance(v, (float, np.floating)):
+        if float(v).is_integer():  # x == 3.0 can match int 3
+            out["int"] = _ival(v)
+    elif isinstance(v, datetime.datetime):
+        t = pd.Timestamp(v)
+        out["ts"] = _ival(t.value // 1000)
+        if t.value % 86_400_000_000_000 == 0:
+            out["days"] = _ival(t.value // 86_400_000_000_000)
+    elif isinstance(v, datetime.date):
+        days = (v - datetime.date(1970, 1, 1)).days
+        out["days"] = _ival(days)
+        out["ts"] = _ival(days * 86_400_000_000)
+    return out
+
+
+def _bloom_probe(words, hp: tuple[int, int]):
+    """Catalyst maybe-contains: K constant double-hash positions masked by
+    the per-row filter size (a power of two), each bit fetched with
+    element_at + bit_get — pruning runs JVM-side over metadata rows
+    only."""
+    m_mask = F.size(words).cast("long") * 64 - 1
+    cond = F.lit(True)
+    for i in range(bloom.K):
+        pos = F.lit(int(hp[0] + i * hp[1])).bitwiseAND(m_mask)
+        word = F.element_at(words, F.shiftrightunsigned(pos, 6).cast("int") + 1)
+        cond = cond & (F.bit_get(word, pos.bitwiseAND(F.lit(63)).cast("int"))
+                       == 1)
+    return cond
+
+
+_BLOOM_PLAIN_INT_DTS = (enc.DT_INT64, enc.DT_INT32, enc.DT_INT16,
+                        enc.DT_INT8, enc.DT_UINT64, enc.DT_UINT32,
+                        enc.DT_UINT16, enc.DT_UINT8)
+
+
+def _bloom_item_pred(words, v):
+    """Per-block-row: could this block contain ``v``?  Picks the hash
+    rendering matching the block's dtype (like ``_num_lit_expr``); blocks
+    without a filter, or dtypes without a rendering, stay possible."""
+    hs = _bloom_item_hashes(v)
+
+    def p(hp):
+        return _bloom_probe(words, hp) if hp is not None else F.lit(True)
+
+    chain = (F.when(F.col("dtype_id").isin(list(_BLOOM_STR_DTS)),
+                    p(hs["str"]))
+             .when(F.col("dtype_id") == enc.DT_TIMESTAMP_US, p(hs["ts"]))
+             .when(F.col("dtype_id") == enc.DT_DATE32, p(hs["days"]))
+             .when(F.col("dtype_id").isin(list(_BLOOM_PLAIN_INT_DTS)),
+                   p(hs["int"]))
+             .otherwise(F.lit(True)))
+    return F.when(words.isNull(), F.lit(True)).otherwise(chain)
+
+
 def _range_pred(lo, hi, lit, op):
     """Can a value satisfying ``x op lit`` exist in [lo, hi]?"""
     if op in ("==", "="):
@@ -1435,8 +1548,12 @@ def prune_blocks(blocks: DataFrame, filters) -> DataFrame:
     if not groups:
         return blocks
 
-    stats = blocks.select("part_key", "column", "dtype_id",
-                          "min_s", "max_s", "min_num", "max_num")
+    sel = ["part_key", "column", "dtype_id",
+           "min_s", "max_s", "min_num", "max_num"]
+    has_bloom = "bloom" in blocks.columns  # stores predate the bloom column
+    if has_bloom:
+        sel.append("bloom")
+    stats = blocks.select(*sel)
     lo_s, hi_s = F.col("min_s"), F.col("max_s")
     lo_n, hi_n = F.col("min_num"), F.col("max_num")
     surviving = None
@@ -1479,9 +1596,23 @@ def prune_blocks(blocks: DataFrame, filters) -> DataFrame:
             # the comparison null -> coalesce to "possible" (keep)
             poss_n = F.coalesce(poss_n, F.lit(True))
 
-            eligible = elig_s | elig_n
-            possible = (elig_s & F.coalesce(poss_s, F.lit(True))) \
-                | (elig_n & poss_n)
+            # bloom channel: equality/IN literals probe the page's Bloom
+            # filter — the one pruner that works on high-cardinality
+            # UNSORTED columns where every [min, max] spans the domain
+            bloom_poss = F.lit(True)
+            elig_b = F.lit(False)
+            if has_bloom and op in ("==", "=", "in"):
+                bp = F.lit(False)
+                for item in items:
+                    bp = bp | _bloom_item_pred(F.col("bloom"), item)
+                bloom_poss = bp
+                elig_b = is_col & F.col("bloom").isNotNull()
+
+            eligible = elig_s | elig_n | elig_b
+            stats_poss = (F.when(elig_s, F.coalesce(poss_s, F.lit(True)))
+                          .when(elig_n, poss_n)
+                          .otherwise(F.lit(True)))
+            possible = eligible & stats_poss & bloom_poss
             has_eligible = F.max(F.when(eligible, 1).otherwise(0)) == 1
             any_possible = F.max(F.when(possible, 1).otherwise(0)) == 1
             cond = cond & F.when(has_eligible, any_possible).otherwise(F.lit(True))
