@@ -441,6 +441,17 @@ def q_winnow_fingerprint(spark, sf_dir):
     return text.winnow_fingerprints(_documents(spark, sf_dir))
 
 
+def q_point_lookup(spark, sf_dir):
+    """Equality point-lookup on an unsorted high-cardinality column: block
+    Bloom filters refute parts whose [min, max] stats all span the domain
+    (parquet-format BloomFilter.md; the reference prunes on stats only —
+    fastparquet api.py:1125-1183 — so this exceeds parity).  The exact
+    re-filter after pruning keeps false positives harmless."""
+    return pl.decode_blocks(_doc_blocks(spark, sf_dir),
+                            columns=["doc_id", "lang", "n_chars"],
+                            filters=[("doc_id", "in", [19, 277, 480])])
+
+
 def q_media_features(spark, sf_dir):
     return multimodal.extract_features(multimodal.synthetic_media(spark, 64),
                                        fake=True)
@@ -483,6 +494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_choices": q_codec_choices,
         "simhash_pairs": q_simhash_pairs,
         "winnow_fingerprint": q_winnow_fingerprint,
+        "point_lookup": q_point_lookup,
         "media_features": q_media_features,
     }
 
@@ -529,6 +541,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang FROM documents WHERE lang = 'en'",
         "decode_filtered_numeric":
             "SELECT doc_id, n_chars FROM documents WHERE n_chars > 300",
+        "point_lookup":
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "WHERE doc_id IN (19, 277, 480)",
         "block_stats":
             " UNION ALL ".join(
                 f"SELECT '{c}' AS col_name, count(*)::BIGINT AS n_values, "
