@@ -441,6 +441,87 @@ def q_winnow_fingerprint(spark, sf_dir):
     return text.winnow_fingerprints(_documents(spark, sf_dir))
 
 
+def q_roundtrip_binary(spark, sf_dir):
+    """BYTE_ARRAY / FIXED_LEN_BYTE_ARRAY parity (fastparquet
+    writer.py:278-279 carries FLBA as raw bytes): a 16-byte digest column
+    encodes through the blockstore as DT_BINARY and decodes
+    byte-identical; hex-rendered for the cross-engine canonicalizer."""
+    src = _doc_source(spark, sf_dir).withColumn(
+        "digest", F.unhex(F.md5("text")))
+    blocks = pl.encode_table(src, columns=["doc_id", "digest"]).persist()
+    d = pl.decode_blocks(blocks)
+    return d.select("doc_id", F.hex("digest").alias("digest_hex"))
+
+
+def q_hive_export(spark, sf_dir):
+    """Hive key=value partitioned export (fastparquet writer.py:1368-1409,
+    ``partition_on=``) read BACK through Spark's partition-discovering
+    reader: decode → export_hive(lang) → read → per-partition counts.
+    Catalyst partition pruning applies to the exported layout for free."""
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="pqs_hive_")
+    try:
+        dec = pl.decode_blocks(_doc_blocks(spark, sf_dir),
+                               columns=["doc_id", "lang", "source"])
+        pl.export_hive(dec, f"{base}/out", ["lang"])
+        back = spark.read.parquet(f"{base}/out")
+        rows = (back.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+                .collect())
+        return spark.createDataFrame(
+            [(r["lang"], int(r["n"])) for r in rows], "lang string, n long")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def q_kv_metadata(spark, sf_dir):
+    """Custom key-value store metadata (fastparquet
+    writer.py:1613-1666, ``update_file_custom_metadata``): attach
+    data-derived key-values to a store, read them back as rows."""
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="pqs_kv_")
+    try:
+        pl.run_encode(_doc_source(spark, sf_dir), f"{base}/s",
+                      columns=DOC_COLS, target_rows=2000, resume=False)
+        dec = pl.decode_blocks(pl.read_blocks(spark, f"{base}/s"))
+        agg = dec.agg(F.count(F.lit(1)).alias("n"),
+                      F.max("doc_id").alias("mx")).collect()[0]
+        pl.update_store_metadata(f"{base}/s", {
+            "n_docs": str(int(agg["n"])), "max_doc": str(int(agg["mx"]))})
+        meta = pl.read_store_metadata(f"{base}/s")
+        return spark.createDataFrame(
+            sorted(meta.items()), "mkey string, mval string")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def q_compact_roundtrip(spark, sf_dir):
+    """LSM pair end-to-end: zero-raw-shuffle local ingest lands
+    fragmented sub-blocks, ``compact_store`` re-encodes fragmented parts
+    whole (fused single-Arrow-pass recode), and the compacted store
+    decodes with full fidelity — the steady-state 100-TB ingest shape."""
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="pqs_cmp_")
+    try:
+        pl.run_encode(_doc_source(spark, sf_dir), f"{base}/s",
+                      columns=DOC_COLS, target_rows=250, resume=False)
+        pl.compact_store(spark, f"{base}/s", max_pages_per_column=1)
+        d = pl.decode_blocks(pl.read_blocks(spark, f"{base}/s"),
+                             columns=["doc_id", "text"])
+        rows = d.select(
+            "doc_id", F.sha2(F.col("text"), 256).alias("sha")).collect()
+        return spark.createDataFrame(
+            [(int(r["doc_id"]), r["sha"]) for r in rows],
+            "doc_id long, sha string")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_point_lookup(spark, sf_dir):
     """Equality point-lookup on an unsorted high-cardinality column: block
     Bloom filters refute parts whose [min, max] stats all span the domain
@@ -495,6 +576,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "winnow_fingerprint": q_winnow_fingerprint,
         "point_lookup": q_point_lookup,
+        "roundtrip_binary": q_roundtrip_binary,
+        "hive_export": q_hive_export,
+        "kv_metadata": q_kv_metadata,
+        "compact_roundtrip": q_compact_roundtrip,
         "media_features": q_media_features,
     }
 
@@ -544,6 +629,16 @@ def oracle_sql() -> dict[str, str]:
         "point_lookup":
             "SELECT doc_id, lang, n_chars FROM documents "
             "WHERE doc_id IN (19, 277, 480)",
+        "roundtrip_binary":
+            "SELECT doc_id, upper(md5(text)) AS digest_hex FROM documents",
+        "hive_export":
+            "SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang",
+        "kv_metadata":
+            "SELECT 'max_doc' AS mkey, max(doc_id)::VARCHAR AS mval "
+            "FROM documents UNION ALL "
+            "SELECT 'n_docs', count(*)::VARCHAR FROM documents",
+        "compact_roundtrip":
+            "SELECT doc_id, sha256(text) AS sha FROM documents",
         "block_stats":
             " UNION ALL ".join(
                 f"SELECT '{c}' AS col_name, count(*)::BIGINT AS n_values, "

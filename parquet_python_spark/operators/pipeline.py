@@ -850,7 +850,8 @@ def run_encode(df: DataFrame, path: str,
                compression: str = "UNCOMPRESSED",
                resume: bool = True,
                generation: int | None = None,
-               strategy: str = "local") -> dict:
+               strategy: str = "local",
+               encode_tasks: int | None = None) -> dict:
     """End-to-end encode run: plan → (resume anti-join) → encode → store.
 
     ``resume=True`` with ``generation=None`` is valid only when re-running
@@ -870,6 +871,16 @@ def run_encode(df: DataFrame, path: str,
     parts — best immediate compression, pick it when ingest-time ratio
     matters more than ingest throughput/network.
 
+    ``encode_tasks``: optional cap on concurrent encode workers (local
+    strategy only; implemented as a shuffle-free ``coalesce``).  Encode
+    kernels are MEMORY-BANDWIDTH-bound, not core-bound: sizing workers to
+    the machine's bandwidth, not its vCPU count, is both faster and
+    compresses better (bigger per-task sub-blocks amortize dictionaries).
+    Measured on this 32-vCPU host at 0.23 GB: 64 natural tasks 0.009-0.05
+    GB/s @ ratio 0.157 vs 6-10 tasks 0.05-0.07 GB/s @ ratio 0.135-0.142.
+    On a multi-executor cluster leave None (natural partitioning) unless
+    executors are similarly over-threaded.
+
     Returns summary metrics from the lineage table.
     """
     spark = df.sparkSession
@@ -885,6 +896,8 @@ def run_encode(df: DataFrame, path: str,
             # per part — broadcast keeps the fact table shuffle-free here)
             assigned = assigned.join(F.broadcast(done), "part_key", "left_anti")
     encode = {"shuffle": encode_table, "local": encode_table_local}[strategy]
+    if encode_tasks is not None and strategy == "local":
+        assigned = assigned.coalesce(int(encode_tasks))
     blocks = encode(assigned, columns, target_rows, page_bytes, compression)
     lin_pd = write_blockstore(blocks, path, mode="append")
     if lin_pd is None:  # nothing new (fully-resumed run): summarize store
@@ -933,7 +946,8 @@ def _uri_to_local(uri: str) -> str:
 
 def _commit_blocks_delta(spark: SparkSession, path: str,
                          affected_keys: DataFrame,
-                         new_blocks: DataFrame | None = None) -> dict:
+                         new_blocks: DataFrame | None = None,
+                         affected_is_all: bool = False) -> dict:
     """File-granular maintenance commit: O(affected + new), never O(store).
 
     ``affected_keys`` (a one-column ``part_key`` frame) names the parts
@@ -954,21 +968,31 @@ def _commit_blocks_delta(spark: SparkSession, path: str,
     snapshot commit (production would swap a manifest of live files
     atomically instead of unlinking).  Reference parity: fastparquet's
     ``remove_row_groups`` touches only ``_metadata`` and leaves data
-    files alone (api.py:415-574)."""
+    files alone (api.py:415-574).
+
+    ``affected_is_all=True`` (caller asserts every live part is affected —
+    e.g. a full-store compaction) skips the part→file scan and the
+    survivor rewrite entirely: every existing file is dead by definition,
+    so the commit is write-new + unlink-all + fresh lineage."""
     import os
 
     bdir = f"{path}/blocks"
     affected_keys = affected_keys.select("part_key").distinct()
-    blocks = spark.read.parquet(bdir).withColumn("_file", F.input_file_name())
-    aff_uris = [r["_file"] for r in
-                (blocks.join(F.broadcast(affected_keys), "part_key",
-                             "left_semi")
-                 .select("_file").distinct().collect())]
     to_write = None
-    if aff_uris:
-        to_write = (blocks.where(F.col("_file").isin(aff_uris))
-                    .join(F.broadcast(affected_keys), "part_key", "left_anti")
-                    .drop("_file"))
+    if affected_is_all:
+        aff_uris = sorted(_list_part_files(bdir))
+    else:
+        blocks = spark.read.parquet(bdir).withColumn(
+            "_file", F.input_file_name())
+        aff_uris = [r["_file"] for r in
+                    (blocks.join(F.broadcast(affected_keys), "part_key",
+                                 "left_semi")
+                     .select("_file").distinct().collect())]
+        if aff_uris:
+            to_write = (blocks.where(F.col("_file").isin(aff_uris))
+                        .join(F.broadcast(affected_keys), "part_key",
+                              "left_anti")
+                        .drop("_file"))
     if new_blocks is not None:
         to_write = (new_blocks if to_write is None
                     else to_write.unionByName(new_blocks))
@@ -985,15 +1009,19 @@ def _commit_blocks_delta(spark: SparkSession, path: str,
     # (survivor parts moved files but their blocks — and rollups — are
     # unchanged); tiny per-part table, materialized driver-side before its
     # directory is overwritten
-    old = read_lineage(spark, path)
-    old_local = spark.createDataFrame(old.toPandas(), schema=old.schema)
-    kept_lin = old_local.join(F.broadcast(affected_keys), "part_key",
-                              "left_anti")
-    if new_files:
-        replaced = (spark.read.parquet(*new_files)
-                    .join(F.broadcast(affected_keys), "part_key",
-                          "left_semi"))
-        kept_lin = kept_lin.unionByName(lineage_from_blocks(replaced))
+    if affected_is_all and new_files:
+        # no survivors: fresh lineage is just the new files' rollup
+        kept_lin = lineage_from_blocks(spark.read.parquet(*new_files))
+    else:
+        old = read_lineage(spark, path)
+        old_local = spark.createDataFrame(old.toPandas(), schema=old.schema)
+        kept_lin = old_local.join(F.broadcast(affected_keys), "part_key",
+                                  "left_anti")
+        if new_files:
+            replaced = (spark.read.parquet(*new_files)
+                        .join(F.broadcast(affected_keys), "part_key",
+                              "left_semi"))
+            kept_lin = kept_lin.unionByName(lineage_from_blocks(replaced))
     kept_lin.write.mode("overwrite").parquet(f"{path}/lineage")
     agg = read_lineage(spark, path).agg(
         F.count(F.lit(1)).alias("parts"), F.sum("n_rows").alias("rows")).collect()[0]
@@ -1153,7 +1181,8 @@ def recode_blocks(blocks: DataFrame, page_bytes: int = DEFAULT_PAGE_BYTES,
 def compact_store(spark: SparkSession, path: str,
                   max_pages_per_column: int = 8,
                   page_bytes: int = DEFAULT_PAGE_BYTES,
-                  compression=None) -> dict:
+                  compression=None,
+                  concurrency: int | None = None) -> dict:
     """Re-encode fragmented parts whole — the LSM/Iceberg compaction step
     that pairs with the shuffle-encoded ingest strategy: ``strategy=
     "local"`` lands sub-blocks fast (no raw shuffle), compaction later
@@ -1172,6 +1201,15 @@ def compact_store(spark: SparkSession, path: str,
     happens inside one Arrow UDF) under the same part_key, and swapped
     in.  Untouched parts are left on disk.  ``compression=None``
     preserves each column's incoming block codec.
+
+    ``concurrency`` throttles the recode stage to that many tasks (an
+    explicit hash repartition on part_key that ``applyInArrow`` reuses —
+    no extra exchange).  Compaction is BACKGROUND maintenance: LSM/Iceberg
+    engines throttle it so it never starves foreground queries, and the
+    recode workers are memory-bandwidth-bound anyway — measured on this
+    32-vCPU host, 27 concurrent recode tasks ran 22-32 s where 8-16 ran
+    2.3-2.7 s for the same 0.23 GB.  None = one task per shuffle
+    partition (cluster default).
     Returns {'parts_compacted', 'enc_bytes_before', 'enc_bytes_after'}.
     """
     lin = (read_lineage(spark, path)
@@ -1189,8 +1227,11 @@ def compact_store(spark: SparkSession, path: str,
     aff = read_blocks(spark, path).join(F.broadcast(frag), "part_key",
                                         "left_semi")
     n_parts = len(frag_keys)
+    if concurrency is not None:
+        aff = aff.repartition(min(int(concurrency), n_parts), "part_key")
     new_blocks = recode_blocks(aff, page_bytes, compression)
-    _commit_blocks_delta(spark, path, frag, new_blocks)
+    _commit_blocks_delta(spark, path, frag, new_blocks,
+                         affected_is_all=(len(frag_lin) == len(lin)))
     lin2 = (read_lineage(spark, path)
             .select("part_key", "enc_bytes").toPandas())
     after = int(lin2[lin2["part_key"].isin(set(frag_keys))]["enc_bytes"].sum())
