@@ -533,6 +533,35 @@ def q_point_lookup(spark, sf_dir):
                             filters=[("doc_id", "in", [19, 277, 480])])
 
 
+def q_schema_evolution(spark, sf_dir):
+    """Generational schema evolution: a store encoded without ``stars``
+    gains it in a later append; decode serves the union schema with NULL
+    on pre-existing parts (parquet row-group semantics; fastparquet fills
+    absent columns with NA, api.py:566-573)."""
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="pqs_evo_")
+    try:
+        src = _doc_source(spark, sf_dir)
+        pl.run_encode(src, f"{base}/s", columns=["doc_id", "n_chars"],
+                      target_rows=2000, resume=False)
+        newer = (src.withColumn("stars", F.col("n_chars") * 2)
+                 .where(F.col("doc_id") < 20))
+        pl.run_encode(newer, f"{base}/s",
+                      columns=["doc_id", "n_chars", "stars"],
+                      target_rows=2000, resume=False, generation=1)
+        d = pl.decode_blocks(pl.read_blocks(spark, f"{base}/s"))
+        rows = d.select("doc_id", "n_chars", "stars").collect()
+        return spark.createDataFrame(
+            [(int(r["doc_id"]), int(r["n_chars"]),
+              None if r["stars"] is None else int(r["stars"]))
+             for r in rows],
+            "doc_id long, n_chars long, stars long")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_media_features(spark, sf_dir):
     return multimodal.extract_features(multimodal.synthetic_media(spark, 64),
                                        fake=True)
@@ -580,6 +609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hive_export": q_hive_export,
         "kv_metadata": q_kv_metadata,
         "compact_roundtrip": q_compact_roundtrip,
+        "schema_evolution": q_schema_evolution,
         "media_features": q_media_features,
     }
 
@@ -639,6 +669,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'n_docs', count(*)::VARCHAR FROM documents",
         "compact_roundtrip":
             "SELECT doc_id, sha256(text) AS sha FROM documents",
+        "schema_evolution":
+            "SELECT doc_id, n_chars::BIGINT AS n_chars, NULL::BIGINT AS stars "
+            "FROM documents UNION ALL "
+            "SELECT doc_id, n_chars::BIGINT, (n_chars * 2)::BIGINT "
+            "FROM documents WHERE doc_id < 20",
         "block_stats":
             " UNION ALL ".join(
                 f"SELECT '{c}' AS col_name, count(*)::BIGINT AS n_values, "

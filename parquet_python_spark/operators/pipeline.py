@@ -51,6 +51,12 @@ from . import encoder as enc
 from . import selector
 
 DEFAULT_PAGE_BYTES = 8 << 20  # target raw bytes per page across all columns
+# local-strategy ingest buffers this much raw input per task before
+# sorting/encoding a chunk: bounds task memory independently of split
+# size (an executor with 4 concurrent tasks holds <=4 chunks + working
+# copies).  Bigger chunks -> fewer, larger sub-blocks (better ingest
+# ratio); compaction restores the ratio either way.
+ENCODE_CHUNK_BYTES = 64 << 20
 
 BLOCKS_SCHEMA = StructType([
     StructField("part_key", LongType(), False),
@@ -611,13 +617,7 @@ def encode_table_local(df: DataFrame, columns: list[str] | None = None,
     df = _project_for_encode(_with_row_hash(df, cols), cols)
     group_fn = make_encode_group(cols, page_bytes, compression)
 
-    def encode_partition(batches):
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        batch_list = [b for b in batches if b.num_rows]
-        if not batch_list:  # empty partitions invoke the UDF with no batches
-            return
+    def emit_chunk(pid: int, chunk: int, batch_list: list):
         tbl = pa.Table.from_batches(batch_list)
         keys = np.asarray(tbl["part_key"].combine_chunks(), dtype=np.int64)
         order = np.argsort(keys, kind="stable")
@@ -632,13 +632,40 @@ def encode_table_local(df: DataFrame, columns: list[str] | None = None,
             if out.num_rows == 0:
                 continue
             # compose page ids so pages from different source partitions
-            # never collide and sort deterministically at decode; int64
-            # page ids keep the composition exact at any partition count
+            # and chunks never collide and sort deterministically at
+            # decode (chunk k of task p precedes chunk k+1); int64 keeps
+            # the composition exact to ~9e7 tasks x 1e5 chunks x 1e6 pages
             pages = np.asarray(out["page_id"].combine_chunks(),
                                dtype=np.int64)
-            new_pages = pa.array(pid * 1_000_000 + pages, type=pa.int64())
+            new_pages = pa.array((pid * 100_000 + chunk) * 1_000_000 + pages,
+                                 type=pa.int64())
             idx = out.schema.get_field_index("page_id")
             yield from out.set_column(idx, "page_id", new_pages).to_batches()
+
+    def encode_partition(batches):
+        """Bounded-memory streaming encode: accumulate input batches to
+        ~ENCODE_CHUNK_BYTES, then sort+group+encode that chunk and emit its
+        blocks before reading on.  A task never materializes its whole
+        input split — per-task footprint is O(chunk), not O(split), so the
+        same code handles a 128 MB split and a 2 GB split (and the giant
+        single-task sort that dominated 1-worker runs disappears)."""
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        chunk = 0
+        buf: list = []
+        buf_bytes = 0
+        for b in batches:
+            if not b.num_rows:
+                continue
+            buf.append(b)
+            buf_bytes += b.nbytes
+            if buf_bytes >= ENCODE_CHUNK_BYTES:
+                yield from emit_chunk(pid, chunk, buf)
+                chunk += 1
+                buf, buf_bytes = [], 0
+        if buf:
+            yield from emit_chunk(pid, chunk, buf)
 
     return df.mapInArrow(encode_partition, BLOCKS_SCHEMA)
 
@@ -1304,17 +1331,32 @@ def merge_stores(spark: SparkSession, paths: list[str], out_path: str) -> dict:
 
 def infer_schema_from_blocks(blocks: DataFrame) -> StructType:
     """Recover the decoded schema (name, order, arrow dtype) from block
-    metadata — the thrift-footer-schema analogue (fastparquet/schema.py)."""
-    cols = (blocks.select("col_idx", "column", "dtype_id").distinct()
-            .orderBy("col_idx").collect())
+    metadata — the thrift-footer-schema analogue (fastparquet/schema.py).
+
+    Schema EVOLUTION aware: generations appended with extra columns give
+    the union of all column names (first-seen col_idx order, so old
+    columns keep their position and new ones append); a column whose
+    dtype differs across parts is a corrupt/unsupported store and raises
+    loudly rather than mis-decoding (type widening is re-encode-time
+    work — ``recode_blocks`` — not read-time guesswork)."""
+    rows = (blocks.groupBy("column")
+            .agg(F.min("col_idx").alias("col_idx"),
+                 F.collect_set("dtype_id").alias("dts"))
+            .orderBy("col_idx", "column").collect())
     from pyspark.sql.pandas.types import from_arrow_type
+    conflicts = {r["column"]: sorted(r["dts"]) for r in rows
+                 if len(r["dts"]) > 1}
+    if conflicts:
+        raise ValueError(
+            f"columns with conflicting dtypes across parts: {conflicts} — "
+            "re-encode the affected parts to a single type before reading")
     # spark_safe: unsigned widths promote to the next wider signed type
     # (Spark has no unsigned types; reference promotion api.py:974-996)
     return StructType([
         StructField(r["column"],
-                    from_arrow_type(enc.spark_safe_arrow_type(r["dtype_id"])),
+                    from_arrow_type(enc.spark_safe_arrow_type(r["dts"][0])),
                     True)
-        for r in cols])
+        for r in rows])
 
 
 def decode_blocks(blocks: DataFrame, columns: list[str] | None = None,
@@ -1387,7 +1429,15 @@ def decode_blocks(blocks: DataFrame, columns: list[str] | None = None,
             arrs = [enc.decode_block(blocks_col[i].as_py())
                     for _, i in sorted(lst)]
             data[c] = pa.concat_arrays(arrs) if len(arrs) > 1 else arrs[0]
-        cols = {c: data[c] for c in want_cols}
+        # schema evolution: a part written before a column existed serves
+        # NULLs for it (parquet row-group semantics; fastparquet fills
+        # absent columns with NA, api.py:566-573) — sized off any sibling
+        # column, so at least one column present in every part must be in
+        # the projection (true whenever any original column is requested)
+        n_rows = len(next(iter(data.values()))) if data else 0
+        cols = {c: data.get(c) if data.get(c) is not None
+                else pa.nulls(n_rows, type=expected.field(c).type)
+                for c in want_cols}
         if keep_part_key:
             pk = int(key[0].as_py() if hasattr(key[0], "as_py") else key[0])
             n = len(next(iter(cols.values()))) if cols else 0

@@ -1,0 +1,81 @@
+"""Schema evolution: generations appended with extra columns decode as a
+union schema with NULL fill on pre-existing parts (parquet row-group
+semantics; fastparquet fills absent columns with NA, api.py:566-573), and
+conflicting dtypes for one column refuse loudly at schema inference."""
+import pytest
+
+from pyspark.sql import functions as F
+
+from parquet_python_spark.operators import pipeline as pl
+
+pytestmark = pytest.mark.spark
+
+
+def _base(spark, n=100):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("t"), F.col("id")).alias("text"),
+        (F.col("id") % 5).cast("string").alias("repo"),
+        F.col("id").cast("string").alias("path"),
+        F.lit("0").alias("commit"))
+
+
+def test_added_column_null_fills_old_parts(spark, tmp_path):
+    store = str(tmp_path / "s")
+    base = _base(spark)
+    pl.run_encode(base, store, columns=["doc_id", "text"],
+                  target_rows=40, resume=False)
+    newer = (base.withColumn("stars", F.col("doc_id") * 2)
+             .where(F.col("doc_id") < 20))
+    pl.run_encode(newer, store, columns=["doc_id", "text", "stars"],
+                  target_rows=40, resume=False, generation=1)
+    d = pl.decode_blocks(pl.read_blocks(spark, store))
+    assert set(d.columns) == {"doc_id", "text", "stars"}
+    assert d.count() == 120
+    assert d.where(F.col("stars").isNull()).count() == 100
+    got = {r["doc_id"]: r["stars"]
+           for r in d.where(F.col("stars").isNotNull()).collect()}
+    assert got == {i: i * 2 for i in range(20)}
+
+
+def test_filter_on_new_column_keeps_exactness(spark, tmp_path):
+    store = str(tmp_path / "s")
+    base = _base(spark)
+    pl.run_encode(base, store, columns=["doc_id", "text"],
+                  target_rows=40, resume=False)
+    newer = (base.withColumn("stars", F.col("doc_id") * 2)
+             .where(F.col("doc_id") < 20))
+    pl.run_encode(newer, store, columns=["doc_id", "text", "stars"],
+                  target_rows=40, resume=False, generation=1)
+    got = pl.decode_blocks(pl.read_blocks(spark, store),
+                           columns=["doc_id", "stars"],
+                           filters=[("stars", ">", 30)]).collect()
+    # old parts decode stars as NULL -> exact re-filter drops them
+    assert sorted(r["doc_id"] for r in got) == [16, 17, 18, 19]
+
+
+def test_projection_of_old_columns_unaffected(spark, tmp_path):
+    store = str(tmp_path / "s")
+    base = _base(spark)
+    pl.run_encode(base, store, columns=["doc_id", "text"],
+                  target_rows=40, resume=False)
+    pl.run_encode(base.withColumn("stars", F.lit(1)).limit(10), store,
+                  columns=["doc_id", "text", "stars"],
+                  target_rows=40, resume=False, generation=1)
+    d = pl.decode_blocks(pl.read_blocks(spark, store),
+                         columns=["doc_id", "text"])
+    assert set(d.columns) == {"doc_id", "text"}
+    assert d.count() == 110
+
+
+def test_dtype_conflict_raises(spark, tmp_path):
+    store = str(tmp_path / "s")
+    base = _base(spark)
+    pl.run_encode(base.withColumn("v", F.col("doc_id").cast("long")),
+                  store, columns=["doc_id", "v"],
+                  target_rows=40, resume=False)
+    pl.run_encode(base.withColumn("v", F.col("doc_id").cast("double")),
+                  store, columns=["doc_id", "v"],
+                  target_rows=40, resume=False, generation=1)
+    with pytest.raises(ValueError, match="conflicting dtypes"):
+        pl.decode_blocks(pl.read_blocks(spark, store)).collect()
