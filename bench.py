@@ -47,6 +47,10 @@ CACHE_DIR = os.environ.get("BENCH_CACHE_DIR", "/tmp/pqs_bench_cache")
 
 HEADLINE = ["roundtrip_sha", "q1_pricing_decoded", "dedup_exact",
             "minhash_lsh", "knn_bruteforce", "token_count"]
+# timed and reported, but kept out of the headline sum so the headline
+# stays comparable across rounds (winnow: VERDICT-r2 asked for its bench
+# time after the JVM-side rewrite; point_lookup: bloom-pruned equality)
+EXTRA = ["winnow_fingerprint", "point_lookup"]
 
 
 def build_spark(cpus: int):
@@ -222,11 +226,13 @@ def main():
         spark.sparkContext._jvm.System.gc()
         time.sleep(2)
         queries = bench_queries(spark, names)
+        extra = bench_queries(spark, EXTRA)
         result = {
             "metric": "headline_queries_total",
             "value": round(sum(queries.values()), 2),
             "unit": "sec",
             "queries": queries,
+            "extra_queries": extra,
             "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
             "encode": enc,
         }

@@ -123,11 +123,19 @@ def winnow_fingerprints(df: DataFrame, col: str = "text", id_col: str = "doc_id"
     kg_h = F.transform(
         F.sequence(F.lit(1), m),
         lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))))
+    # materialize the k-gram hash array ONCE in its own projection: the
+    # sliding-window transform below slices it per window position, and
+    # inlined it would re-evaluate the whole md5 transform for every j —
+    # O(m^2) md5 calls (measured 251 s vs 4 s at sf0.1).  CollapseProject
+    # keeps the alias because a non-cheap expression referenced many
+    # times is not inlined.
+    hashed = df.select(F.col(id_col), m.alias("_m"), kg_h.alias("_kg"))
+    mm = F.col("_m")
     sel = (
-        F.when(m <= 0, F.lit(None))  # no k-grams -> no rows after explode
-        .when(m <= window, F.array(F.array_min(kg_h)))
+        F.when(mm <= 0, F.lit(None))  # no k-grams -> no rows after explode
+        .when(mm <= window, F.array(F.array_min("_kg")))
         .otherwise(F.array_distinct(F.transform(
-            F.sequence(F.lit(1), m - F.lit(window - 1)),
-            lambda j: F.array_min(F.slice(kg_h, j, window)))))
+            F.sequence(F.lit(1), mm - F.lit(window - 1)),
+            lambda j: F.array_min(F.slice("_kg", j, window)))))
     )
-    return df.select(F.col(id_col), F.explode(sel).alias("fp"))
+    return hashed.select(F.col(id_col), F.explode(sel).alias("fp"))
