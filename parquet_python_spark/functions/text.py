@@ -118,18 +118,21 @@ def winnow_fingerprints(df: DataFrame, col: str = "text", id_col: str = "doc_id"
     (engine-portable — the DuckDB oracle reproduces fingerprints exactly),
     the sliding minimum is ``array_min`` over ``slice`` windows, and only
     the final distinct fingerprints explode into (doc, fp) rows."""
+    # each non-cheap array lives in its own projection so every lambda
+    # below slices a materialized ATTRIBUTE, never an inline expression:
+    # an expression referenced inside a higher-order-function lambda is
+    # re-evaluated PER ELEMENT (no CSE across lambda bodies) — inline,
+    # the tokenizer would re-run per k-gram and the md5 transform per
+    # window position, O(m^2) overall (measured 251 s vs 4 s at sf0.1).
+    # CollapseProject keeps the aliases: a non-cheap expression referenced
+    # more than once is not inlined.
     toks = F.regexp_extract_all(F.lower(F.col(col)), F.lit(WORD_RE), 0)
-    m = F.size(toks) - F.lit(k - 1)  # number of k-grams
+    tok_df = df.select(F.col(id_col), toks.alias("_toks"))
+    m = F.size("_toks") - F.lit(k - 1)  # number of k-grams
     kg_h = F.transform(
         F.sequence(F.lit(1), m),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))))
-    # materialize the k-gram hash array ONCE in its own projection: the
-    # sliding-window transform below slices it per window position, and
-    # inlined it would re-evaluate the whole md5 transform for every j —
-    # O(m^2) md5 calls (measured 251 s vs 4 s at sf0.1).  CollapseProject
-    # keeps the alias because a non-cheap expression referenced many
-    # times is not inlined.
-    hashed = df.select(F.col(id_col), m.alias("_m"), kg_h.alias("_kg"))
+        lambda i: F.md5(F.concat_ws(" ", F.slice("_toks", i, k))))
+    hashed = tok_df.select(F.col(id_col), m.alias("_m"), kg_h.alias("_kg"))
     mm = F.col("_m")
     sel = (
         F.when(mm <= 0, F.lit(None))  # no k-grams -> no rows after explode
