@@ -533,6 +533,31 @@ def q_point_lookup(spark, sf_dir):
                             filters=[("doc_id", "in", [19, 277, 480])])
 
 
+def q_sorted_scan(spark, sf_dir):
+    """Within-part clustering (sort_store) then a range scan: pages carry
+    narrow disjoint [min, max] on the sort column, so the stats pruner
+    skips pages, not just parts (reference row-group ordering on
+    overwrite, fastparquet writer.py:1560-1579, generalized)."""
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="pqs_sort_")
+    try:
+        pl.run_encode(_doc_source(spark, sf_dir), f"{base}/s",
+                      columns=["doc_id", "n_chars"], target_rows=2000,
+                      resume=False)
+        pl.sort_store(spark, f"{base}/s", ["n_chars"])
+        d = pl.decode_blocks(pl.read_blocks(spark, f"{base}/s"),
+                             columns=["doc_id", "n_chars"],
+                             filters=[("n_chars", "<", 250)])
+        rows = d.collect()
+        return spark.createDataFrame(
+            [(int(r["doc_id"]), int(r["n_chars"])) for r in rows],
+            "doc_id long, n_chars long")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_schema_evolution(spark, sf_dir):
     """Generational schema evolution: a store encoded without ``stars``
     gains it in a later append; decode serves the union schema with NULL
@@ -610,6 +635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kv_metadata": q_kv_metadata,
         "compact_roundtrip": q_compact_roundtrip,
         "schema_evolution": q_schema_evolution,
+        "sorted_scan": q_sorted_scan,
         "media_features": q_media_features,
     }
 
@@ -674,6 +700,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents UNION ALL "
             "SELECT doc_id, n_chars::BIGINT, (n_chars * 2)::BIGINT "
             "FROM documents WHERE doc_id < 20",
+        "sorted_scan":
+            "SELECT doc_id, n_chars::BIGINT AS n_chars FROM documents "
+            "WHERE n_chars < 250",
         "block_stats":
             " UNION ALL ".join(
                 f"SELECT '{c}' AS col_name, count(*)::BIGINT AS n_values, "

@@ -1110,7 +1110,8 @@ def remove_repos(spark: SparkSession, path: str, repos: list[str],
 
 
 def recode_blocks(blocks: DataFrame, page_bytes: int = DEFAULT_PAGE_BYTES,
-                  compression=None) -> DataFrame:
+                  compression=None,
+                  sort_by: list[str] | None = None) -> DataFrame:
     """Fused decode→re-encode of whole parts over their ENCODED blocks.
 
     compact_store's hot path.  The only exchange is the groupBy(part_key)
@@ -1124,6 +1125,13 @@ def recode_blocks(blocks: DataFrame, page_bytes: int = DEFAULT_PAGE_BYTES,
     ``compression=None`` preserves each column's incoming block codec;
     a string / per-column dict overrides it (same forms as
     ``encode_table``).
+
+    ``sort_by``: re-order each part's rows by these columns before
+    re-paginating (all columns permuted consistently).  Within-part
+    clustering makes per-page [min, max] ranges on the sort columns
+    narrow and disjoint, so range predicates prune pages — the
+    reference's row-group ordering on overwrite
+    (fastparquet writer.py:1560-1579) generalized to any column set.
 
     Lineage integrity: a part's order-independent row-hash is the XOR of
     its incoming blocks' ``row_hash`` values (xor is associative and
@@ -1159,7 +1167,8 @@ def recode_blocks(blocks: DataFrame, page_bytes: int = DEFAULT_PAGE_BYTES,
                     if compression is not None else None)
         out: list[dict] = []
         trial_hints: dict[str, dict] = {}
-        for ci, c in enumerate(ordered):
+        decoded: dict[str, pa.Array] = {}
+        for c in ordered:
             lst = per_col[c]
             page_ids = [p for p, _ in lst]
             if len(set(page_ids)) != len(page_ids):
@@ -1169,7 +1178,19 @@ def recode_blocks(blocks: DataFrame, page_bytes: int = DEFAULT_PAGE_BYTES,
                     "or merge_stores to consolidate overlapping stores)")
             arrs = [enc.decode_block(blocks_col[i].as_py())
                     for _, i in sorted(lst)]
-            arr_all = pa.concat_arrays(arrs) if len(arrs) > 1 else arrs[0]
+            decoded[c] = pa.concat_arrays(arrs) if len(arrs) > 1 else arrs[0]
+        if sort_by:
+            missing = [c for c in sort_by if c not in decoded]
+            if missing:
+                raise KeyError(
+                    f"sort_by columns {missing} not present in part "
+                    f"{part_key} — encode them or drop them from sort_by")
+            perm = pa.compute.sort_indices(
+                pa.table({c: decoded[c] for c in sort_by}),
+                sort_keys=[(c, "ascending") for c in sort_by])
+            decoded = {c: a.take(perm) for c, a in decoded.items()}
+        for ci, c in enumerate(ordered):
+            arr_all = decoded[c]
             n = len(arr_all)
             comp_name = override[c] if override is not None else col_comp[c]
             comp_id = comp.resolve(comp_name)
@@ -1264,6 +1285,37 @@ def compact_store(spark: SparkSession, path: str,
     after = int(lin2[lin2["part_key"].isin(set(frag_keys))]["enc_bytes"].sum())
     return {"parts_compacted": int(n_parts),
             "enc_bytes_before": before, "enc_bytes_after": after}
+
+
+def sort_store(spark: SparkSession, path: str, by: list[str],
+               page_bytes: int = DEFAULT_PAGE_BYTES,
+               compression=None,
+               concurrency: int | None = None) -> dict:
+    """Cluster each part's rows by ``by`` (within-part sort + repagination)
+    so per-page [min, max] stats on those columns become narrow and
+    disjoint — range predicates then prune PAGES, not just parts, via the
+    existing stats pruner, and sortedness detection
+    (``sorted_columns``) reports them.  Row multisets per part are
+    unchanged (lineage row-hashes are order-independent and stay valid).
+
+    The reference orders row groups on overwrite
+    (fastparquet writer.py:1560-1579); this generalizes that to any
+    column set as an off-ingest maintenance pass, same fused recode +
+    file-granular commit as ``compact_store``.  Also restores whole-part
+    compression as a side effect (sorted runs dictionary/RLE better).
+    """
+    lin = read_lineage(spark, path).select("part_key").toPandas()
+    keys = [int(k) for k in lin["part_key"]]
+    if not keys:
+        return {"parts_sorted": 0}
+    frame = spark.createDataFrame([(k,) for k in keys], "part_key long")
+    aff = read_blocks(spark, path)
+    if concurrency is not None:
+        aff = aff.repartition(min(int(concurrency), len(keys)), "part_key")
+    new_blocks = recode_blocks(aff, page_bytes, compression, sort_by=by)
+    _commit_blocks_delta(spark, path, frame, new_blocks,
+                         affected_is_all=True)
+    return {"parts_sorted": len(keys)}
 
 
 def merge_stores(spark: SparkSession, paths: list[str], out_path: str) -> dict:

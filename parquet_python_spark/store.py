@@ -121,6 +121,9 @@ class BlockStore:
         return pl.compact_store(self.spark, self.path,
                                 max_pages_per_column=max_pages_per_column)
 
+    def sort(self, by: list[str]) -> dict:
+        return pl.sort_store(self.spark, self.path, by)
+
     def remove_repos(self, repos: list[str]) -> dict:
         return pl.remove_repos(self.spark, self.path, repos)
 
