@@ -68,6 +68,27 @@ def test_projection_of_old_columns_unaffected(spark, tmp_path):
     assert d.count() == 110
 
 
+def test_compaction_preserves_evolved_schema(spark, tmp_path):
+    """compact_store on a store whose parts carry different column sets:
+    each part recodes with ITS columns; decode still serves the union
+    schema with NULL fill."""
+    store = str(tmp_path / "s")
+    base = _base(spark)
+    pl.run_encode(base, store, columns=["doc_id", "text"],
+                  target_rows=30, resume=False)
+    newer = (base.withColumn("stars", F.col("doc_id") * 3)
+             .where(F.col("doc_id") >= 80))
+    pl.run_encode(newer, store, columns=["doc_id", "text", "stars"],
+                  target_rows=30, resume=False, generation=1)
+    pl.compact_store(spark, store, max_pages_per_column=1, concurrency=2)
+    d = pl.decode_blocks(pl.read_blocks(spark, store))
+    assert set(d.columns) == {"doc_id", "text", "stars"}
+    assert d.count() == 120
+    got = {r["doc_id"]: r["stars"]
+           for r in d.where(F.col("stars").isNotNull()).collect()}
+    assert got == {i: i * 3 for i in range(80, 100)}
+
+
 def test_dtype_conflict_raises(spark, tmp_path):
     store = str(tmp_path / "s")
     base = _base(spark)
