@@ -1413,13 +1413,17 @@ def infer_schema_from_blocks(blocks: DataFrame) -> StructType:
 
 def decode_blocks(blocks: DataFrame, columns: list[str] | None = None,
                   filters=None, keep_part_key: bool = False,
-                  reassemble: bool = True) -> DataFrame:
+                  reassemble: bool = True,
+                  tasks: int | None = None) -> DataFrame:
     """Blocks -> original rows. Projection prunes blocks before the shuffle;
     ``filters`` additionally prunes whole blocks on min/max stats, then
     re-applies the exact predicate on decoded rows (the reference's two-level
     scheme: filter_row_groups then row_filter, api.py:691-794).
     ``keep_part_key=True`` prepends the originating part_key to every row
-    (store-maintenance ops re-encode rows under their original parts)."""
+    (store-maintenance ops re-encode rows under their original parts).
+    ``tasks`` caps concurrent decode workers (hash repartition on
+    part_key that the group-decode reuses — same memory-bandwidth
+    rationale as ``run_encode(encode_tasks=)``)."""
     user_cols = list(columns) if columns is not None else None
     if filters is not None:
         need = {c for grp in _norm_filters(filters) for (c, _, _) in grp}
@@ -1498,6 +1502,8 @@ def decode_blocks(blocks: DataFrame, columns: list[str] | None = None,
         # cast to Spark's exact arrow schema (tz metadata on timestamps)
         return pa.table(cols).cast(expected)
 
+    if tasks is not None:
+        blocks = blocks.repartition(int(tasks), "part_key")
     out = blocks.groupBy("part_key").applyInArrow(decode_group, schema)
     if filters is not None:
         out = filt.apply_filters(out, filters)
