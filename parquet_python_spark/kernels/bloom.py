@@ -37,6 +37,11 @@ K = 4                    # probes per value
 BITS_PER_DISTINCT = 10   # ~1.2% false-positive rate at k=4
 MIN_BITS = 1 << 9        # 64 B floor — tiny pages still get a real filter
 MAX_BITS = 1 << 21       # 256 KiB cap; beyond it fpp makes pruning useless
+# skip string pages whose average value exceeds this: equality point-
+# lookup on kilobyte-long document bodies is not a realistic access path,
+# and crc32-scanning them was 26% of total encode CPU (profiled r3) —
+# id-like columns (paths, commits, shas, keys) stay well under the cap
+MAX_AVG_LEN = 256
 _SALT2 = b"\x9e\x37\x79\xb9"  # second hash stream
 
 
@@ -81,6 +86,8 @@ def build(arr: pa.Array, is_string: bool) -> list[int] | None:
         return None
     n_distinct = len(uniq)
     if n_distinct * BITS_PER_DISTINCT > MAX_BITS:
+        return None
+    if is_string and uniq.nbytes > MAX_AVG_LEN * n_distinct:
         return None
     if is_string:
         try:
