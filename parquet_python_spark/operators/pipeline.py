@@ -1022,7 +1022,8 @@ def _commit_blocks_delta(spark: SparkSession, path: str,
                         .drop("_file"))
     if new_blocks is not None:
         to_write = (new_blocks if to_write is None
-                    else to_write.unionByName(new_blocks))
+                    else to_write.unionByName(new_blocks,
+                                              allowMissingColumns=True))
     before = _list_part_files(bdir)
     new_files: list[str] = []
     if to_write is not None:
@@ -1337,7 +1338,8 @@ def merge_stores(spark: SparkSession, paths: list[str], out_path: str) -> dict:
     clean = None
     for s in stores:
         part_df = s.join(F.broadcast(collide), "part_key", "left_anti")
-        clean = part_df if clean is None else clean.unionByName(part_df)
+        clean = (part_df if clean is None else
+                 clean.unionByName(part_df, allowMissingColumns=True))
     merged = clean
     rows = None
     for s in stores:
@@ -1348,7 +1350,8 @@ def merge_stores(spark: SparkSession, paths: list[str], out_path: str) -> dict:
         rows = r if rows is None else rows.unionByName(r)
     if rows is not None:
         cols = [c for c in rows.columns if c not in _HELPER_COLS]
-        merged = merged.unionByName(encode_table(rows, cols))
+        merged = merged.unionByName(encode_table(rows, cols),
+                                    allowMissingColumns=True)
     merged.write.mode("overwrite").option("compression", "none").parquet(
         f"{out_path}/blocks")
     written = spark.read.parquet(f"{out_path}/blocks")

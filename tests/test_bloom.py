@@ -131,6 +131,36 @@ def test_prune_backward_compat_without_bloom_column(spark, doc_store):
     assert [r["doc_id"] for r in got] == [777]
 
 
+def test_compact_legacy_store_without_bloom_column(spark, tmp_path):
+    """A store written before the bloom column existed must still compact:
+    the survivor/new-block union tolerates the missing column (null
+    bloom keeps those blocks unprunable but correct)."""
+    from pyspark.sql import functions as F
+
+    df = (spark.range(300)
+          .select(F.col("id").alias("doc_id"),
+                  F.concat(F.lit("w"), F.col("id")).alias("text"),
+                  (F.col("id") % 3).cast("string").alias("repo"),
+                  F.col("id").cast("string").alias("path"),
+                  F.lit("0").alias("commit")))
+    store = str(tmp_path / "legacy")
+    pl.run_encode(df, store, columns=["doc_id", "text"], target_rows=50,
+                  resume=False, encode_tasks=2)
+    # strip the bloom column on disk to simulate a pre-r3 store
+    legacy = spark.read.parquet(f"{store}/blocks").drop("bloom")
+    legacy.write.mode("overwrite").parquet(f"{store}/blocks2")
+    import shutil
+    shutil.rmtree(f"{store}/blocks")
+    shutil.move(f"{store}/blocks2", f"{store}/blocks")
+    spark.catalog.refreshByPath(f"{store}/blocks")
+    pl.compact_store(spark, store, max_pages_per_column=1, concurrency=2)
+    d = pl.decode_blocks(pl.read_blocks(spark, store))
+    assert d.count() == 300
+    got = pl.decode_blocks(pl.read_blocks(spark, store),
+                           filters=[("doc_id", "==", 7)]).collect()
+    assert [r["doc_id"] for r in got] == [7]
+
+
 def test_bloom_range_ops_unaffected(spark, doc_store):
     """Bloom must not participate in range predicates."""
     got = pl.decode_blocks(doc_store, filters=[("doc_id", "<", 5)])
