@@ -202,6 +202,54 @@ def q_q1_rollup(spark, sf_dir):
                     .alias("returnflag"), "sum_qty", "n"))
 
 
+def q_q3_shipping(spark, sf_dir):
+    """TPC-H Q3-shaped 3-table join over DECODED blockstores: each table
+    encodes into its own store, decodes with its selective predicate
+    pushed into block pruning, and the small decoded sides broadcast into
+    the lineitem probe — the §2e relational layer (supplied by Spark SQL,
+    absent from the reference) composing with the §2c/2d scan layer."""
+    def dress(df, key):
+        return (df.withColumn("repo", (F.col(key) % 10).cast("string"))
+                .withColumn("path", F.col(key).cast("string"))
+                .withColumn("commit", F.lit("0")))
+
+    cut = "1998-06-30"
+    cust = pl.encode_table(
+        dress(spark.read.parquet(f"{sf_dir}/customer.parquet"), "c_custkey"),
+        ["c_custkey", "c_mktsegment"]).persist()
+    ordb = pl.encode_table(
+        dress(spark.read.parquet(f"{sf_dir}/orders.parquet"), "o_orderkey"),
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+    ).persist()
+    linb = pl.encode_table(_lineitem_source(spark, sf_dir),
+                           columns=LINEITEM_COLS,
+                           target_rows=50_000).persist()
+    c = pl.decode_blocks(cust, columns=["c_custkey"],
+                         filters=[("c_mktsegment", "==", "BUILDING")])
+    o = pl.decode_blocks(ordb,
+                         columns=["o_orderkey", "o_custkey", "o_orderdate",
+                                  "o_orderpriority"],
+                         filters=[("o_orderdate", "<", cut)])
+    ln = pl.decode_blocks(linb,
+                          columns=["l_orderkey", "l_extendedprice",
+                                   "l_discount", "l_shipdate"],
+                          filters=[("l_shipdate", ">", cut)])
+    j = (ln.join(F.broadcast(o), ln.l_orderkey == o.o_orderkey)
+         .join(F.broadcast(c), o.o_custkey == c.c_custkey))
+    # integer-exact revenue in 10^-4 dollars: prices/discounts are
+    # 2-decimal quantities, so summing cents x (100 - discount-points)
+    # integers is order-independent AND rounding-free — a double sum
+    # wobbles in the last cent between engines (IEEE sum order), and even
+    # an exact double ROUNDS differently (Spark HALF_UP on the shortest
+    # decimal repr vs DuckDB on the binary value)
+    ep_c = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    dc_c = F.round(F.col("l_discount") * 100, 0).cast("long")
+    return (j.groupBy("l_orderkey",
+                      F.date_format("o_orderdate", "yyyy-MM-dd").alias("od"),
+                      "o_orderpriority")
+            .agg(F.sum(ep_c * (F.lit(100) - dc_c)).alias("rev_e4")))
+
+
 def q_roundtrip_embeddings(spark, sf_dir):
     """LIST-column pipeline parity: encode/decode array<float> embeddings.
 
@@ -605,6 +653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_minmax": q_stats_minmax,
         "q1_pricing_decoded": q_q1_pricing_decoded,
         "q1_rollup": q_q1_rollup,
+        "q3_shipping": q_q3_shipping,
         "roundtrip_embeddings": q_roundtrip_embeddings,
         "roundtrip_tags_array": q_roundtrip_tags_array,
         "roundtrip_nested_list": q_roundtrip_nested_list,
@@ -729,6 +778,20 @@ def oracle_sql() -> dict[str, str]:
                    round(SUM(l_quantity), 2) AS sum_qty,
                    count(*)::BIGINT AS n
             FROM lineitem GROUP BY ROLLUP (l_returnflag)""",
+        "q3_shipping": """
+            SELECT l_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS od,
+                   o_orderpriority,
+                   SUM(round(l_extendedprice * 100, 0)::BIGINT
+                       * (100 - round(l_discount * 100, 0)::BIGINT))::BIGINT
+                       AS rev_e4
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-06-30 00:00:00'
+              AND l_shipdate > TIMESTAMP '1998-06-30 00:00:00'
+            GROUP BY l_orderkey, od, o_orderpriority""",
         "roundtrip_embeddings": """
             SELECT vec_id, label, CAST(u.i - 1 AS INT) AS idx, u.v AS val
             FROM (SELECT vec_id, label,
