@@ -17,10 +17,11 @@ sources/    deterministic source-code table generator; block table I/O
 plans/      Spark pipeline: repartition+salt -> mapInPandas encode ->
             lineage/checkpoint -> anti-join resume -> decode/verify
 streaming/  Structured Streaming encode path
-analytics/  training-data pipeline ops (dedup, similarity, text stats)
+functions/  training-data pipeline ops (dedup, similarity, text stats,
+            multimodal plumbing)
 """
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 
 def __getattr__(name):
