@@ -199,10 +199,19 @@ def _choose_float(samp: pa.Array, vals: pa.Array, dt: int, n: int,
     # whenever labels + packed codes undercut raw values
     est_distinct_total = distinct if ratio < 0.5 else int(ratio * n)
     width = bitpack.width_from_max(max(est_distinct_total - 1, 1))
-    sizes = {enc.PLAIN: n * itemsize,
-             enc.DICT: est_distinct_total * itemsize + n * width / 8}
+    sizes = {enc.PLAIN: n * itemsize}
     np_t = np.float64 if dt == enc.DT_FLOAT64 else np.float32
     s_np = np.asarray(samp, dtype=np_t)
+    # dictionary unifies values that compare EQUAL but differ in bits —
+    # all NaN payloads collapse to the first-seen NaN, and -0.0 to +0.0
+    # (Arrow dictionary_encode compares by value) — so such pages keep
+    # bit-exact codecs only (PLAIN/BSS/DECFLOAT preserve payloads; both
+    # cases found by property fuzzing)
+    v_np = np.asarray(vals, dtype=np_t)
+    bit_unsafe = bool(np.isnan(v_np).any()
+                      or (np.signbit(v_np) & (v_np == 0)).any())
+    if not bit_unsafe:
+        sizes[enc.DICT] = est_distinct_total * itemsize + n * width / 8
     scale = enc.decfloat_scale(s_np)
     if scale is not None:
         # sample rejects cheaply; the full-column validation (vectorized,

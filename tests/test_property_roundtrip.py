@@ -121,3 +121,36 @@ def test_corrupt_blocks_raise(junk):
     except Exception:
         raised = True
     assert raised
+
+
+def _roundtrip_bits_f64(arr: pa.Array):
+    """Bit-exact comparison: pa.Array.equals treats NaN != NaN, so float
+    fidelity must compare the raw IEEE bits (null slots zeroed)."""
+    c = selector.choose(arr)
+    dec = enc.decode_block(enc.encode_block(arr, c.codec)).cast(arr.type)
+    assert dec.is_null().equals(arr.is_null()), c.codec_name
+    a = np.asarray(arr.fill_null(0.0).to_numpy(zero_copy_only=False))
+    d = np.asarray(dec.fill_null(0.0).to_numpy(zero_copy_only=False))
+    assert (a.view(np.uint64) == d.view(np.uint64)).all(), c.codec_name
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.one_of(st.none(),
+                          st.floats(allow_nan=True, allow_infinity=True)),
+                min_size=1, max_size=100))
+def test_float64_bit_exact_roundtrip(vals):
+    _roundtrip_bits_f64(pa.array(vals, type=pa.float64()))
+
+
+def test_float_nan_payload_and_negzero_preserved():
+    """Regression (found by property fuzzing): the dict codec unifies
+    values that compare equal but differ in bits — distinct NaN payloads
+    and -0.0 vs +0.0 — so the selector must keep NaN/-0.0-bearing float
+    pages on bit-exact codecs."""
+    import struct
+
+    snan = struct.unpack("d", struct.pack("Q", 0x7FF0000000000001))[0]
+    for vals in ([snan, snan, float("nan")],
+                 [0.0, 0.0, -0.0],
+                 [snan, -0.0, 1.5, 1.5, None]):
+        _roundtrip_bits_f64(pa.array(vals, type=pa.float64()))
