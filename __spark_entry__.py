@@ -402,6 +402,10 @@ def q_fingerprint(spark, sf_dir):
     return text.fingerprints(_documents(spark, sf_dir))
 
 
+def q_rarity(spark, sf_dir):
+    return text.corpus_rarity(_documents(spark, sf_dir))
+
+
 def q_redact(spark, sf_dir):
     return text.redact(_documents(spark, sf_dir))
 
@@ -667,6 +671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "redact": q_redact,
+        "rarity": q_rarity,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -893,6 +898,16 @@ def oracle_sql() -> dict[str, str]:
                 text
               FROM documents)
             SELECT doc_id, redacted, redacted != text AS changed FROM r""",
+        "rarity": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                         AS tok
+              FROM documents),
+            v AS (SELECT tok, count(*)::BIGINT AS cnt FROM toks GROUP BY tok)
+            SELECT doc_id, sum(cnt)::BIGINT AS tok_mass,
+                   count(*)::BIGINT AS n_toks
+            FROM toks JOIN v USING (tok) GROUP BY doc_id""",
         "dedup_exact": """
             SELECT sha256(text) AS text_sha, min(doc_id) AS keep_id,
                    count(*)::BIGINT AS n_copies

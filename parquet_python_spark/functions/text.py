@@ -101,6 +101,30 @@ def redact(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFram
                      (out != F.col(col)).alias("changed"))
 
 
+def corpus_rarity(df: DataFrame, col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Corpus-frequency rarity signal per document (the integer core of a
+    CCNet-style unigram-LM quality score): every token joins its corpus
+    count, and each doc reports (tok_mass = sum of its tokens' corpus
+    counts, n_toks).  Low mass/n_toks = rare vocabulary (exotic or noisy
+    text); high = boilerplate.  Kept in BIGINTs end-to-end so the DuckDB
+    oracle matches bit-for-bit (a log-based LM score differs in the last
+    ulp between libm implementations).
+
+    100-TB shape: one map-side-combined groupBy(token) for the vocab and
+    one shuffle join on token — both scale with the token stream; no
+    driver-side state, no Python in the row path."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.regexp_extract_all(F.lower(F.col(col)),
+                                       F.lit(WORD_RE), 0)).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    return (toks.join(vocab, "tok")
+            .groupBy(id_col)
+            .agg(F.sum("cnt").alias("tok_mass"),
+                 F.count(F.lit(1)).alias("n_toks")))
+
+
 # ---------------------------------------------------------------- winnowing
 
 def winnow_fingerprints(df: DataFrame, col: str = "text", id_col: str = "doc_id",
