@@ -406,6 +406,10 @@ def q_rarity(spark, sf_dir):
     return text.corpus_rarity(_documents(spark, sf_dir))
 
 
+def q_boilerplate(spark, sf_dir):
+    return text.strip_boilerplate(_documents(spark, sf_dir), min_docs=3)
+
+
 def q_redact(spark, sf_dir):
     return text.redact(_documents(spark, sf_dir))
 
@@ -672,6 +676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "redact": q_redact,
         "rarity": q_rarity,
+        "boilerplate": q_boilerplate,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -908,6 +913,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, sum(cnt)::BIGINT AS tok_mass,
                    count(*)::BIGINT AS n_toks
             FROM toks JOIN v USING (tok) GROUP BY doc_id""",
+        "boilerplate": """
+            WITH s AS (SELECT doc_id, string_split(text, chr(10)) AS ls
+                       FROM documents),
+            l AS (SELECT doc_id, i AS pos, ls[i] AS line
+                  FROM s, unnest(range(1, len(ls) + 1)) t(i)),
+            hot AS (SELECT line FROM
+                      (SELECT line, count(DISTINCT doc_id) AS docfreq
+                       FROM l GROUP BY line)
+                    WHERE docfreq >= 3),
+            kept AS (SELECT * FROM l
+                     WHERE line NOT IN (SELECT line FROM hot))
+            SELECT doc_id,
+                   array_to_string(list(line ORDER BY pos), chr(10))
+                       AS clean_text,
+                   count(*)::BIGINT AS n_kept
+            FROM kept GROUP BY doc_id""",
         "dedup_exact": """
             SELECT sha256(text) AS text_sha, min(doc_id) AS keep_id,
                    count(*)::BIGINT AS n_copies

@@ -125,6 +125,34 @@ def corpus_rarity(df: DataFrame, col: str = "text",
                  F.count(F.lit(1)).alias("n_toks")))
 
 
+def strip_boilerplate(df: DataFrame, col: str = "text",
+                      id_col: str = "doc_id",
+                      min_docs: int = 3) -> DataFrame:
+    """Line-level boilerplate removal (the CCNet/C4 paragraph-dedup move):
+    a line appearing in >= ``min_docs`` DISTINCT documents is boilerplate
+    (license headers, nav chrome, repeated disclaimers) and is stripped
+    from every document; docs whose every line is boilerplate drop out.
+
+    Returns (id, clean_text, n_kept).  100-TB shape: one
+    map-side-combined distinct-count per line, one anti-join on the line
+    key, and per-doc reconstruction via collect_list + array_sort — the
+    only shuffles are the two the semantics require, zero Python in the
+    row path."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(col), "\n")).alias("pos", "line"))
+    hot = (lines.groupBy("line")
+           .agg(F.countDistinct(id_col).alias("docfreq"))
+           .where(F.col("docfreq") >= min_docs).select("line"))
+    kept = lines.join(hot, "line", "left_anti")
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "line"))),
+        lambda x: x["line"])
+    return (kept.groupBy(id_col)
+            .agg(F.array_join(ordered, "\n").alias("clean_text"),
+                 F.count(F.lit(1)).alias("n_kept")))
+
+
 # ---------------------------------------------------------------- winnowing
 
 def winnow_fingerprints(df: DataFrame, col: str = "text", id_col: str = "doc_id",

@@ -245,3 +245,45 @@ def test_near_dup_exact_matches_bruteforce(spark, rng):
     assert len(got) == len(got_set)  # no duplicate emission
     assert got_set == ref_set
     assert {(3, 7), (44, 101)} <= {(a_, b_) for a_, b_, _ in got_set}
+
+
+def test_strip_boilerplate_semantics(spark):
+    from parquet_python_spark.functions import text as T
+
+    hdr = "// SPDX-License-Identifier: MIT"
+    docs = spark.createDataFrame(
+        [(0, hdr + "\nalpha\nbeta"),
+         (1, hdr + "\ngamma"),
+         (2, hdr + "\ndelta\nalpha"),
+         (3, "unique only")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["clean_text"], r["n_kept"])
+           for r in T.strip_boilerplate(docs, min_docs=3).collect()}
+    # the header appears in 3 distinct docs -> stripped everywhere;
+    # 'alpha' appears in only 2 docs -> kept; order preserved
+    assert got[0] == ("alpha\nbeta", 2)
+    assert got[1] == ("gamma", 1)
+    assert got[2] == ("delta\nalpha", 2)
+    assert got[3] == ("unique only", 1)
+
+
+def test_strip_boilerplate_all_boilerplate_doc_drops(spark):
+    from parquet_python_spark.functions import text as T
+
+    docs = spark.createDataFrame(
+        [(i, "same line") for i in range(4)],
+        "doc_id long, text string")
+    assert T.strip_boilerplate(docs, min_docs=3).count() == 0
+
+
+def test_corpus_rarity_counts(spark):
+    from parquet_python_spark.functions import text as T
+
+    docs = spark.createDataFrame(
+        [(0, "the the cat"), (1, "the dog")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["tok_mass"], r["n_toks"])
+           for r in T.corpus_rarity(docs).collect()}
+    # corpus counts: the=3, cat=1, dog=1
+    assert got[0] == (3 + 3 + 1, 3)
+    assert got[1] == (3 + 1, 2)
