@@ -410,6 +410,10 @@ def q_boilerplate(spark, sf_dir):
     return text.strip_boilerplate(_documents(spark, sf_dir), min_docs=3)
 
 
+def q_repetition(spark, sf_dir):
+    return text.repetition_stats(_documents(spark, sf_dir))
+
+
 def q_redact(spark, sf_dir):
     return text.redact(_documents(spark, sf_dir))
 
@@ -677,6 +681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact": q_redact,
         "rarity": q_rarity,
         "boilerplate": q_boilerplate,
+        "repetition": q_repetition,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -929,6 +934,20 @@ def oracle_sql() -> dict[str, str]:
                        AS clean_text,
                    count(*)::BIGINT AS n_kept
             FROM kept GROUP BY doc_id""",
+        "repetition": """
+            SELECT doc_id,
+                   len(string_split(text, chr(10)))::BIGINT AS n_lines,
+                   len(list_distinct(string_split(text, chr(10))))::BIGINT
+                       AS n_distinct_lines,
+                   len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT
+                       AS n_toks,
+                   len(list_distinct(
+                       regexp_extract_all(lower(text), '[a-z0-9]+')))::BIGINT
+                       AS n_distinct_toks,
+                   coalesce(list_max(list_transform(
+                       string_split(text, chr(10)), l -> length(l))),
+                       0)::BIGINT AS max_line_len
+            FROM documents""",
         "dedup_exact": """
             SELECT sha256(text) AS text_sha, min(doc_id) AS keep_id,
                    count(*)::BIGINT AS n_copies

@@ -125,6 +125,27 @@ def corpus_rarity(df: DataFrame, col: str = "text",
                  F.count(F.lit(1)).alias("n_toks")))
 
 
+def repetition_stats(df: DataFrame, col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-document repetition signals (the Gopher/MassiveText quality
+    rules: duplicate-line fraction, duplicate-token fraction, longest
+    line): emitted as raw BIGINT counts so filters derive any ratio and
+    the cross-engine oracle is exact.  Pure per-row JVM expressions —
+    whole-stage codegen, zero shuffles, zero Python."""
+    lines = F.split(F.col(col), "\n")
+    toks = F.regexp_extract_all(F.lower(F.col(col)), F.lit(WORD_RE), 0)
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(F.array_distinct(lines)).cast("long")
+         .alias("n_distinct_lines"),
+        F.size(toks).cast("long").alias("n_toks"),
+        F.size(F.array_distinct(toks)).cast("long")
+         .alias("n_distinct_toks"),
+        F.coalesce(F.array_max(F.transform(lines, F.length)),
+                   F.lit(0)).cast("long").alias("max_line_len"))
+
+
 def strip_boilerplate(df: DataFrame, col: str = "text",
                       id_col: str = "doc_id",
                       min_docs: int = 3) -> DataFrame:
