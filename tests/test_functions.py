@@ -47,6 +47,29 @@ def test_minhash_lsh_finds_near_dups(spark, docs):
     assert est[(0, 1)] == 1.0
 
 
+def test_dedup_clusters_transitive(spark):
+    # chain a-b-c (a,c never directly paired), clique {p,q,r}, pair {x,y}:
+    # components must be resolved transitively, canonical id = min doc_id.
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("p", "q"), ("q", "r"), ("p", "r"),
+         ("x", "y")], ["a", "b"])
+    got = {(r["doc_id"], r["cluster_id"])
+           for r in dedup.dedup_clusters(pairs).collect()}
+    assert got == {("a", "a"), ("b", "a"), ("c", "a"),
+                   ("p", "p"), ("q", "p"), ("r", "p"),
+                   ("x", "x"), ("y", "x")}
+
+
+def test_dedup_clusters_long_chain(spark):
+    # a 9-hop path exercises multi-round propagation + checkpoint lineage
+    ids = [f"v{i:02d}" for i in range(10)]
+    pairs = spark.createDataFrame(
+        list(zip(ids[1:], ids[:-1])), ["a", "b"])  # reversed order on purpose
+    out = dedup.dedup_clusters(pairs).collect()
+    assert {r["cluster_id"] for r in out} == {"v00"}
+    assert len(out) == 10
+
+
 def test_simhash_near_pairs(spark, docs):
     pairs = dedup.simhash_near_pairs(docs, max_hamming=3).toPandas()
     got = {tuple(x) for x in pairs[["a", "b"]].to_numpy()}
