@@ -18,7 +18,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from parquet_python_spark.functions import dedup, multimodal, similarity, text
+from parquet_python_spark.functions import (dedup, multimodal, sampling,
+                                            similarity, text)
 from parquet_python_spark.operators import pipeline as pl
 from parquet_python_spark.streaming import incremental as st
 
@@ -431,6 +432,26 @@ def q_minhash_lsh(spark, sf_dir):
                                    n_hashes=8, bands=2, tau=0.25)
 
 
+_SAMPLE_RATES = {"en": 0.5, "de": 0.25}
+_MIX_TARGETS = {"en": 0.5, "zh": 0.3, "fr": 0.2}
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic per-stratum hash sampling (training-data curation):
+    keep iff uint32(md5(doc_id)[:8]) < rate*2^32 — map-only, retry-stable."""
+    out = sampling.sample_stratified(_documents(spark, sf_dir),
+                                     _SAMPLE_RATES, "lang", "doc_id")
+    return out.select("doc_id", "lang")
+
+
+def q_mix_corpus(spark, sf_dir):
+    """Corpus mixing: downsample strata to hit target mixture proportions
+    (largest achievable total), deterministic in doc_id."""
+    out = sampling.mix_proportions(_documents(spark, sf_dir),
+                                   _MIX_TARGETS, "lang", "doc_id")
+    return out.select("doc_id", "lang")
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-duplicate CLUSTERS: connected components over the MinHash-LSH
     pair graph (iterative min-label propagation; oracle is a recursive-CTE
@@ -695,6 +716,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
+        "sample_stratified": q_sample_stratified,
+        "mix_corpus": q_mix_corpus,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_ivf": q_knn_ivf,
         "knn_lsh": q_knn_lsh,
@@ -995,6 +1018,12 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c.a, c.b
             HAVING round(SUM(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END)::DOUBLE
                          / 8, 3) >= 0.25""",
+        "sample_stratified": sampling.sample_stratified_sql(
+            "documents", _SAMPLE_RATES, "lang", "doc_id",
+            columns="doc_id, lang"),
+        "mix_corpus": sampling.mix_proportions_sql(
+            "documents", _MIX_TARGETS, "lang", "doc_id",
+            columns="d.doc_id, d.lang"),
         "dedup_clusters": f"""
             WITH RECURSIVE {_SHINGLE_CTE},
             mh AS (SELECT doc_id, j, min(md5(j::VARCHAR || ':' || shingle)) AS h

@@ -3,7 +3,8 @@
 import pytest
 from pyspark.sql import functions as F
 
-from parquet_python_spark.functions import dedup, multimodal, similarity, text
+from parquet_python_spark.functions import (dedup, multimodal, sampling,
+                                            similarity, text)
 
 pytestmark = pytest.mark.spark
 
@@ -45,6 +46,58 @@ def test_minhash_lsh_finds_near_dups(spark, docs):
     assert (0, 1) in got
     est = pairs.set_index(["a", "b"])["est_jaccard"]
     assert est[(0, 1)] == 1.0
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(i, "en" if i % 10 < 6 else ("fr" if i % 10 < 8 else "zh"))
+            for i in range(2000)]
+    return spark.createDataFrame(rows, ["doc_id", "lang"])
+
+
+def test_sample_stratified_deterministic_and_rated(spark, corpus):
+    out1 = sampling.sample_stratified(corpus, {"en": 0.5, "fr": 0.1},
+                                      "lang", "doc_id")
+    a = sorted(r["doc_id"] for r in out1.collect())
+    b = sorted(r["doc_id"] for r in out1.collect())  # re-run: retry-stable
+    assert a == b and len(a) > 0
+    by = {r["lang"]: r["n"] for r in
+          out1.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert "zh" not in by                      # default_rate=0 drops
+    assert abs(by["en"] / 1200 - 0.5) < 0.08   # hash-uniformity tolerance
+    assert abs(by["fr"] / 400 - 0.1) < 0.08
+
+
+def test_sample_stratified_matches_sql_twin(spark, corpus):
+    import duckdb
+    pdf = corpus.toPandas()
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    sql = sampling.sample_stratified_sql(
+        "docs", {"en": 0.37, "fr": 0.9}, "lang", "doc_id",
+        columns="doc_id, lang")
+    want = set(con.sql(sql).df()["doc_id"])
+    got = {r["doc_id"] for r in sampling.sample_stratified(
+        corpus, {"en": 0.37, "fr": 0.9}, "lang", "doc_id").collect()}
+    assert got == want
+
+
+def test_mix_proportions_hits_targets(spark, corpus):
+    targets = {"en": 0.3, "fr": 0.4, "zh": 0.3}
+    out = sampling.mix_proportions(corpus, targets, "lang", "doc_id")
+    by = {r["lang"]: r["n"] for r in
+          out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # fr is the binding stratum (400 rows / 0.4 target = 1000): kept whole
+    assert by["fr"] == 400
+    total = sum(by.values())
+    for s, t in targets.items():
+        assert abs(by[s] / total - t) < 0.05
+
+
+def test_mix_rates_unknown_stratum_raises(spark, corpus):
+    with pytest.raises(ValueError, match="no rows"):
+        sampling.mix_proportions(corpus, {"en": 0.5, "xx": 0.5},
+                                 "lang", "doc_id")
 
 
 def test_dedup_clusters_transitive(spark):
