@@ -452,6 +452,12 @@ def q_mix_corpus(spark, sf_dir):
     return out.select("doc_id", "lang")
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing at a 2048-token budget, sharded
+    by lang (window is per-shard — never a global no-partition window)."""
+    return sampling.pack_sequences(_documents(spark, sf_dir), budget=2048)
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-duplicate CLUSTERS: connected components over the MinHash-LSH
     pair graph (iterative min-label propagation; oracle is a recursive-CTE
@@ -718,6 +724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "sample_stratified": q_sample_stratified,
         "mix_corpus": q_mix_corpus,
+        "pack_sequences": q_pack_sequences,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_ivf": q_knn_ivf,
         "knn_lsh": q_knn_lsh,
@@ -1024,6 +1031,8 @@ def oracle_sql() -> dict[str, str]:
         "mix_corpus": sampling.mix_proportions_sql(
             "documents", _MIX_TARGETS, "lang", "doc_id",
             columns="d.doc_id, d.lang"),
+        "pack_sequences": sampling.pack_sequences_sql("documents",
+                                                      budget=2048),
         "dedup_clusters": f"""
             WITH RECURSIVE {_SHINGLE_CTE},
             mh AS (SELECT doc_id, j, min(md5(j::VARCHAR || ':' || shingle)) AS h

@@ -22,7 +22,7 @@ touches every row), converts them to per-stratum keep rates, and hash-samples.
 """
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 HASH_SPACE = 1 << 32  # first 8 md5 hex chars, uniform on [0, 2^32)
 
@@ -115,6 +115,63 @@ def mix_proportions_sql(table: str, targets: dict[str, float],
         SELECT {columns} FROM {table} d JOIN rates r USING ({strata_col})
         WHERE ('0x' || substring(md5(d.{id_col}::VARCHAR), 1, 8))::BIGINT
               < floor(r.rate * 4294967296.0)::BIGINT"""
+
+
+def pack_sequences(df: DataFrame, budget: int, text_col: str = "text",
+                   id_col: str = "doc_id", shard_col: str = "lang",
+                   token_re: str = r"\S+") -> DataFrame:
+    """Concat-and-chunk sequence packing — the standard LLM-pretraining
+    transform: documents within a shard are concatenated in deterministic
+    ``id_col`` order and the token stream is cut every ``budget`` tokens
+    (documents may straddle a cut).  Emits, per document,
+
+        (id, shard, n_tokens, seq_first, seq_last, seq_offset)
+
+    — the first/last sequence the document lands in and its token offset
+    inside ``seq_first`` — which lets a downstream tokenizer slice each
+    fixed-length sequence deterministically WITHOUT ever materializing the
+    concatenated stream.
+
+    Scale shape: one window partitioned by the shard key (never a global
+    no-partition window — that funnels the corpus through one task).  At
+    100 TB the shard key should be (domain, hash_bucket) so every window
+    fits a single task; packing is embarrassingly parallel across shards
+    and the output is pure per-row arithmetic over one running sum.
+    """
+    tok = F.size(F.regexp_extract_all(
+        F.col(text_col), F.lit(token_re), 0)).cast("long")
+    w = Window.partitionBy(shard_col).orderBy(id_col)
+    base = df.select(F.col(id_col), F.col(shard_col), tok.alias("n_tokens"))
+    cum = F.sum("n_tokens").over(w)
+    start = (cum - F.col("n_tokens"))
+    first = F.floor(start / budget).cast("long")
+    return (base.withColumn("cum", cum)
+            .select(id_col, shard_col, "n_tokens",
+                    first.alias("seq_first"),
+                    F.greatest(first, F.floor((F.col("cum") - 1) / budget)
+                               .cast("long")).alias("seq_last"),
+                    (start % budget).cast("long").alias("seq_offset")))
+
+
+def pack_sequences_sql(table: str, budget: int, text_col: str = "text",
+                       id_col: str = "doc_id", shard_col: str = "lang",
+                       token_re: str = r"\S+") -> str:
+    """ANSI-SQL twin of :func:`pack_sequences` (oracle generator)."""
+    return f"""
+        WITH t AS (SELECT {id_col}, {shard_col},
+                          len(regexp_extract_all({text_col},
+                              '{token_re}'))::BIGINT AS n_tokens
+                   FROM {table}),
+        c AS (SELECT {id_col}, {shard_col}, n_tokens,
+                     SUM(n_tokens) OVER (PARTITION BY {shard_col}
+                                         ORDER BY {id_col})::BIGINT AS cum
+              FROM t)
+        SELECT {id_col}, {shard_col}, n_tokens,
+               ((cum - n_tokens) // {budget})::BIGINT AS seq_first,
+               greatest((cum - n_tokens) // {budget},
+                        (cum - 1) // {budget})::BIGINT AS seq_last,
+               ((cum - n_tokens) % {budget})::BIGINT AS seq_offset
+        FROM c"""
 
 
 def _mix_rates(counts: dict[str, int],

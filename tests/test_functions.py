@@ -100,6 +100,20 @@ def test_mix_rates_unknown_stratum_raises(spark, corpus):
                                  "lang", "doc_id")
 
 
+def test_pack_sequences_invariants(spark):
+    rows = [(i, "en", "tok " * (50 + 7 * i)) for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = sampling.pack_sequences(df, budget=100).orderBy("doc_id").collect()
+    cum = 0
+    for r in out:
+        assert r["seq_first"] == cum // 100          # starts where prev ended
+        assert r["seq_offset"] == cum % 100
+        cum += r["n_tokens"]
+        assert r["seq_last"] == max(r["seq_first"], (cum - 1) // 100)
+    # budget exceeded somewhere → at least one doc straddles a cut
+    assert any(r["seq_last"] > r["seq_first"] for r in out)
+
+
 def test_dedup_clusters_transitive(spark):
     # chain a-b-c (a,c never directly paired), clique {p,q,r}, pair {x,y}:
     # components must be resolved transitively, canonical id = min doc_id.
