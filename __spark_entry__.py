@@ -467,6 +467,14 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup.dedup_clusters(pairs)
 
 
+def q_dedup_near(spark, sf_dir):
+    """Deduped corpus: drop every non-canonical member of each
+    near-duplicate cluster (pairs → components → broadcast anti-join)."""
+    out = dedup.dedup_near(_documents(spark, sf_dir),
+                           n_hashes=8, bands=2, tau=0.25)
+    return out.select("doc_id", "lang")
+
+
 def q_knn_bruteforce(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return similarity.cosine_topk(emb, _knn_queries(emb), k=5)
@@ -722,6 +730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_near": q_dedup_near,
         "sample_stratified": q_sample_stratified,
         "mix_corpus": q_mix_corpus,
         "pack_sequences": q_pack_sequences,
@@ -1060,6 +1069,35 @@ def oracle_sql() -> dict[str, str]:
                       FROM reach r JOIN edges e ON r.dst = e.src)
             SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
             FROM reach GROUP BY src""",
+        "dedup_near": f"""
+            WITH RECURSIVE {_SHINGLE_CTE},
+            mh AS (SELECT doc_id, j, min(md5(j::VARCHAR || ':' || shingle)) AS h
+                   FROM sh, (SELECT unnest(range(0, 8)) AS j) js
+                   GROUP BY doc_id, j),
+            band AS (SELECT doc_id, CAST(j // 4 AS INT) AS band,
+                            md5(string_agg(h, ',' ORDER BY j)) AS bh
+                     FROM mh GROUP BY doc_id, CAST(j // 4 AS INT)),
+            cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                     FROM band x JOIN band y
+                       ON x.band = y.band AND x.bh = y.bh
+                      AND x.doc_id < y.doc_id),
+            pairs AS (SELECT c.a, c.b
+                      FROM cand c
+                      JOIN mh sa ON sa.doc_id = c.a
+                      JOIN mh sb ON sb.doc_id = c.b AND sb.j = sa.j
+                      GROUP BY c.a, c.b
+                      HAVING round(SUM(CASE WHEN sa.h = sb.h THEN 1 ELSE 0
+                                       END)::DOUBLE / 8, 3) >= 0.25),
+            edges AS (SELECT a AS src, b AS dst FROM pairs
+                      UNION SELECT b AS src, a AS dst FROM pairs),
+            reach AS (SELECT src, dst FROM edges
+                      UNION
+                      SELECT r.src, e.dst
+                      FROM reach r JOIN edges e ON r.dst = e.src),
+            dropped AS (SELECT src FROM reach
+                        GROUP BY src HAVING least(src, min(dst)) <> src)
+            SELECT doc_id, lang FROM documents
+            WHERE doc_id NOT IN (SELECT src FROM dropped)""",
         "winnow_fingerprint": r"""
             WITH toks AS (
               SELECT doc_id,

@@ -224,6 +224,20 @@ def dedup_clusters(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
                          F.col("lbl").alias("cluster_id"))
 
 
+def dedup_near(df: DataFrame, col: str = "text", id_col: str = "doc_id",
+               **lsh_kwargs) -> DataFrame:
+    """End-to-end near-duplicate removal: MinHash-LSH pairs →
+    connected-component clusters → keep only each cluster's canonical
+    (min-id) member.  The anti-join ships just the (small) drop list against
+    the corpus — broadcast-able whenever the duplicate fraction is, which at
+    web scale it is (drop list ∝ duplicates, not corpus)."""
+    pairs = minhash_lsh_pairs(df, col, id_col, **lsh_kwargs)
+    clusters = dedup_clusters(pairs)
+    drop = (clusters.where(F.col("doc_id") != F.col("cluster_id"))
+            .select(F.col("doc_id").alias(id_col)))
+    return df.join(F.broadcast(drop), id_col, "left_anti")
+
+
 # ----------------------------------------------------------------- simhash
 
 SIMHASH_BITS = 60  # 15 md5 hex chars — the widest oracle-portable width
