@@ -475,6 +475,15 @@ def q_dedup_near(spark, sf_dir):
     return out.select("doc_id", "lang")
 
 
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination: corpus docs sharing a 5-gram with the
+    (deterministic doc_id % 97 == 0) eval subset; the eval shingle set is
+    broadcast so the corpus is scanned once and never shuffled."""
+    docs = _documents(spark, sf_dir)
+    eval_df = docs.where(F.col("doc_id") % 97 == 0)
+    return dedup.contamination(docs, eval_df, n=5, min_hits=1)
+
+
 def q_knn_bruteforce(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return similarity.cosine_topk(emb, _knn_queries(emb), k=5)
@@ -731,6 +740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "dedup_near": q_dedup_near,
+        "contamination": q_contamination,
         "sample_stratified": q_sample_stratified,
         "mix_corpus": q_mix_corpus,
         "pack_sequences": q_pack_sequences,
@@ -1069,6 +1079,19 @@ def oracle_sql() -> dict[str, str]:
                       FROM reach r JOIN edges e ON r.dst = e.src)
             SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
             FROM reach GROUP BY src""",
+        "contamination": """
+            WITH toks AS (SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+                   FROM documents),
+            shc AS (SELECT DISTINCT doc_id,
+                     unnest(list_transform(range(1, len(t) - 3),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                            t[i+3] || ' ' || t[i+4])) AS shingle
+                    FROM toks WHERE len(t) >= 5),
+            ev AS (SELECT DISTINCT shingle FROM shc WHERE doc_id % 97 = 0)
+            SELECT doc_id, count(*)::BIGINT AS n_hits
+            FROM shc WHERE shingle IN (SELECT shingle FROM ev)
+            GROUP BY doc_id HAVING count(*) >= 1""",
         "dedup_near": f"""
             WITH RECURSIVE {_SHINGLE_CTE},
             mh AS (SELECT doc_id, j, min(md5(j::VARCHAR || ':' || shingle)) AS h

@@ -224,6 +224,28 @@ def dedup_clusters(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
                          F.col("lbl").alias("cluster_id"))
 
 
+def contamination(corpus: DataFrame, eval_df: DataFrame, col: str = "text",
+                  id_col: str = "doc_id", n: int = 5,
+                  min_hits: int = 1) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing at least
+    ``min_hits`` distinct word ``n``-grams with ANY document of the
+    evaluation set (the standard pretraining hygiene check — benchmark text
+    that leaked into the corpus must be dropped before training).
+
+    Returns ``(id, n_hits)`` for flagged documents.  The eval side reduces
+    to a DISTINCT shingle set — eval suites are thousands of documents, so
+    the set broadcasts and the probe is a map-side semi-join: the corpus is
+    scanned once, never shuffled.  (For an eval set too big to broadcast,
+    drop the ``broadcast`` hint and the same plan becomes a shuffle
+    equi-join on the shingle key.)"""
+    sc = shingles(corpus, col, id_col, n, docfreq_cap=None)
+    se = (shingles(eval_df, col, id_col, n, docfreq_cap=None)
+          .select("shingle").distinct())
+    return (sc.join(F.broadcast(se), "shingle")
+            .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_hits"))
+            .where(F.col("n_hits") >= min_hits))
+
+
 def dedup_near(df: DataFrame, col: str = "text", id_col: str = "doc_id",
                **lsh_kwargs) -> DataFrame:
     """End-to-end near-duplicate removal: MinHash-LSH pairs →

@@ -114,6 +114,22 @@ def test_pack_sequences_invariants(spark):
     assert any(r["seq_last"] > r["seq_first"] for r in out)
 
 
+def test_contamination_flags_leaked_eval_text(spark):
+    bench = ("what is the capital of france paris is the capital and "
+             "largest city of france")
+    corpus = spark.createDataFrame(
+        [(1, "intro text " + bench + " trailing commentary"),   # verbatim leak
+         (2, "a completely unrelated document about spark shuffles and "
+             "partition skew in distributed joins"),
+         (3, "short")],
+        ["doc_id", "text"])
+    eval_df = spark.createDataFrame([(100, bench)], ["doc_id", "text"])
+    got = {r["doc_id"]: r["n_hits"]
+           for r in dedup.contamination(corpus, eval_df, n=5).collect()}
+    assert 1 in got and got[1] >= 5
+    assert 2 not in got and 3 not in got
+
+
 def test_dedup_clusters_transitive(spark):
     # chain a-b-c (a,c never directly paired), clique {p,q,r}, pair {x,y}:
     # components must be resolved transitively, canonical id = min doc_id.
