@@ -114,6 +114,45 @@ def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
 
 
+THUMB_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("out_w", IntegerType(), False),
+    StructField("out_h", IntegerType(), False),
+    StructField("thumb", BinaryType(), False),
+])
+
+
+def resize(df: DataFrame, out_side: int = 8, fake: bool = True) -> DataFrame:
+    """Thumbnail resize as an Arrow-batched ``mapInPandas`` UDF: decode →
+    block-mean downsample to ``out_side``².  Mirrors how a real imaging UDF
+    runs (one library decode per payload inside the batch — imaging codecs
+    are inherently per-item; the batching amortizes the Python/Arrow
+    transfer, and the downsample itself is whole-array numpy).  The decode
+    is the documented container stub: ``fake=True`` routes through the
+    deterministic stand-in so schema, batch shape and partitioning are
+    exercised for real."""
+    def run(batches):
+        for pdf in batches:
+            ids, thumbs = pdf["media_id"].to_numpy(), []
+            for p in pdf["payload"].to_numpy():
+                img = decode_image(p, fake=fake).astype(np.float64)
+                side = img.shape[0]
+                k = max(side // out_side, 1)
+                crop = img[:k * out_side, :k * out_side] if side >= out_side \
+                    else np.resize(img, (out_side, out_side))
+                if side >= out_side:
+                    crop = crop.reshape(out_side, k, out_side, k).mean((1, 3))
+                thumbs.append(crop.astype(np.uint8).tobytes())
+            yield pd.DataFrame({
+                "media_id": ids,
+                "out_w": np.full(len(ids), out_side, dtype=np.int32),
+                "out_h": np.full(len(ids), out_side, dtype=np.int32),
+                "thumb": thumbs,
+            })
+
+    return df.select("media_id", "payload").mapInPandas(run, THUMB_SCHEMA)
+
+
 def frame_sample(df: DataFrame, every: int = 10) -> DataFrame:
     """Frame-sampling plan for video rows: JVM-side sequence expression."""
     return df.where(F.col("kind") == "video").select(

@@ -239,6 +239,24 @@ def test_multimodal_stub(spark):
     assert (frames.frames.str.len() >= 1).all()
 
 
+def test_multimodal_resize_deterministic(spark):
+    media = multimodal.synthetic_media(spark, 12)
+    t1 = multimodal.resize(media, out_side=8).toPandas().sort_values("media_id")
+    t2 = multimodal.resize(media, out_side=8).toPandas().sort_values("media_id")
+    assert len(t1) == 12
+    assert (t1.thumb.str.len() == 64).all()          # 8x8 uint8
+    assert list(t1.thumb) == list(t2.thumb)          # deterministic
+    # block-mean of the fake decode, verified for one payload driver-side
+    import numpy as np
+    row = t1.iloc[0]
+    payload = media.toPandas().set_index("media_id").loc[row.media_id, "payload"]
+    img = multimodal.decode_image(bytes(payload), fake=True).astype(np.float64)
+    k = max(img.shape[0] // 8, 1)
+    want = (img[:k * 8, :k * 8].reshape(8, k, 8, k).mean((1, 3))
+            .astype(np.uint8).tobytes())
+    assert bytes(row.thumb) == want
+
+
 def test_lang_id_markers(spark):
     df = spark.createDataFrame(
         [(0, "#include <stdio.h>"), (1, "import numpy"), (2, "func main()"),
