@@ -88,6 +88,21 @@ class BlockStore:
         """``ParquetFile.to_pandas`` parity (materializes on the driver)."""
         return self.to_spark(columns, filters).toPandas()
 
+    def create_view(self, name: str, columns=None) -> DataFrame:
+        """Register the decoded store as a temp view so it is queryable with
+        ``spark.sql`` — Catalyst then prunes/pushes over the decoded plan
+        like any other relation.  Returns the registered DataFrame."""
+        df = self.to_spark(columns=columns)
+        df.createOrReplaceTempView(name)
+        return df
+
+    def sql(self, query: str, view: str = "store") -> DataFrame:
+        """One-shot SQL over the decoded store: registers ``view`` then runs
+        ``query`` (reference users get the DataFrame/SQL surface fastparquet
+        never had)."""
+        self.create_view(view)
+        return self.spark.sql(query)
+
     def head(self, n: int, columns=None) -> DataFrame:
         return pl.head_rows(self.spark, self.path, n, columns=columns)
 

@@ -33,6 +33,16 @@ def test_to_pandas_projection_and_filter(store):
     assert list(pdf.columns) == ["repo", "lang"]
 
 
+def test_sql_over_decoded_view(store):
+    bs, df = store
+    got = bs.sql("SELECT lang, count(*) AS n FROM store GROUP BY lang "
+                 "ORDER BY lang").collect()
+    want = (df.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("lang").collect())
+    assert [(r["lang"], r["n"]) for r in got] == \
+        [(r["lang"], r["n"]) for r in want]
+
+
 def test_head_and_iter(store):
     bs, _ = store
     assert bs.head(7).count() == 7
