@@ -458,6 +458,17 @@ def q_pack_sequences(spark, sf_dir):
     return sampling.pack_sequences(_documents(spark, sf_dir), budget=2048)
 
 
+def q_quality_topk(spark, sf_dir):
+    """Curation selection: keep the 10 highest-quality documents per lang
+    (rounded quality is oracle-bit-exact, doc_id tiebreak makes the window
+    rank deterministic)."""
+    docs = _documents(spark, sf_dir)
+    qs = text.quality_scores(docs).select("doc_id", "quality")
+    d = qs.join(docs.select("doc_id", "lang"), "doc_id")
+    out = sampling.top_k_by(d, 10, "lang", [F.desc("quality")])
+    return out.select("doc_id", "lang", "quality", "rnk")
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-duplicate CLUSTERS: connected components over the MinHash-LSH
     pair graph (iterative min-label propagation; oracle is a recursive-CTE
@@ -744,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "mix_corpus": q_mix_corpus,
         "pack_sequences": q_pack_sequences,
+        "quality_topk": q_quality_topk,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_ivf": q_knn_ivf,
         "knn_lsh": q_knn_lsh,
@@ -942,6 +954,28 @@ def oracle_sql() -> dict[str, str]:
                          + 0.2::DOUBLE * (n_stop::DOUBLE / nullif(n_words, 0)), 3)
                        AS quality
             FROM u""",
+        "quality_topk": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                     length(text) AS n_len
+              FROM documents),
+            u AS (SELECT doc_id, len(toks)::INT AS n_words, n_alpha, n_len,
+                         len(list_filter(toks,
+                             x -> x IN ('the','a','and','of','in','to'))) AS n_stop
+                  FROM t),
+            q AS (SELECT doc_id,
+                   round(0.4::DOUBLE * least(n_words::DOUBLE / 100, 1.0::DOUBLE)
+                         + 0.4::DOUBLE * (n_alpha::DOUBLE / nullif(n_len, 0))
+                         + 0.2::DOUBLE * (n_stop::DOUBLE / nullif(n_words, 0)), 3)
+                       AS quality
+                  FROM u),
+            r AS (SELECT d.doc_id, d.lang, q.quality,
+                         row_number() OVER (PARTITION BY d.lang
+                             ORDER BY q.quality DESC, d.doc_id)::INT AS rnk
+                  FROM documents d JOIN q USING (doc_id))
+            SELECT doc_id, lang, quality, rnk FROM r WHERE rnk <= 10""",
         "lang_id": """
             SELECT doc_id, CASE
                 WHEN text LIKE '%#include%' THEN 'c'

@@ -91,6 +91,22 @@ def mix_proportions(df: DataFrame, targets: dict[str, float],
     return sample_stratified(df, rates, strata_col, id_col, default_rate=0.0)
 
 
+def top_k_by(df: DataFrame, k: int, part_col: str, order_cols,
+             id_col: str = "doc_id") -> DataFrame:
+    """Per-group top-k selection (e.g. keep the k highest-quality documents
+    per domain).  Appends a ``rnk`` column (1-based) and filters to ≤ k.
+
+    The window is partitioned by the group key — never a global
+    no-partition window — and ties break on ``id_col`` so the selection is
+    total-ordered and deterministic across engines and retries.  At scale
+    prefer group keys with bounded cardinality per group (domain,
+    source-bucket); row_number over a window shuffles once on the group
+    key, identical to the groupBy the semantics require anyway."""
+    w = Window.partitionBy(part_col).orderBy(*order_cols, F.asc(id_col))
+    return (df.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k))
+
+
 def mix_proportions_sql(table: str, targets: dict[str, float],
                         strata_col: str = "lang", id_col: str = "doc_id",
                         columns: str = "d.*") -> str:
