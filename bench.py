@@ -50,7 +50,8 @@ HEADLINE = ["roundtrip_sha", "q1_pricing_decoded", "dedup_exact",
 # timed and reported, but kept out of the headline sum so the headline
 # stays comparable across rounds (winnow: VERDICT-r2 asked for its bench
 # time after the JVM-side rewrite; point_lookup: bloom-pruned equality)
-EXTRA = ["winnow_fingerprint", "point_lookup"]
+EXTRA = ["winnow_fingerprint", "point_lookup", "pack_sequences",
+         "sample_stratified"]
 
 
 def build_spark(cpus: int):
