@@ -486,6 +486,15 @@ def q_dedup_near(spark, sf_dir):
     return out.select("doc_id", "lang")
 
 
+def q_para_dedup(spark, sf_dir):
+    """Paragraph-level exact dedup: re-chunk into 8-token paragraphs (the
+    synthetic corpus has no newlines), keep only first occurrences
+    corpus-wide, reconstruct each doc from its survivors."""
+    docs = dedup.chunk_paragraphs(_documents(spark, sf_dir), n=8)
+    return dedup.dedup_paragraphs(docs).select(
+        "doc_id", "n_total", "n_kept", "text_dedup")
+
+
 def q_contamination(spark, sf_dir):
     """Benchmark decontamination: corpus docs sharing a 5-gram with the
     (deterministic doc_id % 97 == 0) eval subset; the eval shingle set is
@@ -752,6 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_near": q_dedup_near,
         "contamination": q_contamination,
+        "para_dedup": q_para_dedup,
         "sample_stratified": q_sample_stratified,
         "mix_corpus": q_mix_corpus,
         "pack_sequences": q_pack_sequences,
@@ -1113,6 +1123,29 @@ def oracle_sql() -> dict[str, str]:
                       FROM reach r JOIN edges e ON r.dst = e.src)
             SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
             FROM reach GROUP BY src""",
+        "para_dedup": r"""
+            WITH toks AS (SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+                   FROM documents),
+            p AS (SELECT doc_id, u.pos AS pos, u.para AS para FROM (
+                    SELECT doc_id, unnest(list_transform(
+                        range(0, (len(t) + 7) // 8),
+                        i -> {'pos': i,
+                              'para': array_to_string(
+                                  t[i*8+1:i*8+8], ' ')})) AS u
+                    FROM toks)),
+            k AS (SELECT doc_id, pos, para,
+                         row_number() OVER (PARTITION BY sha256(para)
+                             ORDER BY doc_id, pos) AS rn
+                  FROM p),
+            tot AS (SELECT doc_id, count(*)::BIGINT AS n_total
+                    FROM p GROUP BY doc_id),
+            kept AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+                            string_agg(para, chr(10) || chr(10)
+                                       ORDER BY pos) AS text_dedup
+                     FROM k WHERE rn = 1 GROUP BY doc_id)
+            SELECT kept.doc_id, n_total, n_kept, text_dedup
+            FROM kept JOIN tot USING (doc_id)""",
         "contamination": """
             WITH toks AS (SELECT doc_id,
                      regexp_extract_all(lower(text), '[a-z0-9]+') AS t

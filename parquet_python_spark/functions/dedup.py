@@ -16,7 +16,7 @@ Scale-first design notes (100 TB thinking):
 """
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .text import WORD_RE
 
@@ -222,6 +222,66 @@ def dedup_clusters(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
     edges.unpersist()
     return labels.select(F.col("v").alias("doc_id"),
                          F.col("lbl").alias("cluster_id"))
+
+
+def chunk_paragraphs(df: DataFrame, col: str = "text",
+                     id_col: str = "doc_id", n: int = 8) -> DataFrame:
+    """Re-chunk text into fixed ``n``-token 'paragraphs' (for corpora whose
+    text carries no explicit paragraph breaks).  Adds a ``paras``
+    array<string> column.
+
+    The token array is materialized into its own column BEFORE the
+    transform lambda touches it — inline expressions inside HOF lambdas
+    re-evaluate per element (Catalyst does no CSE across lambda scopes),
+    which would make this O(tokens²) per document."""
+    toks = F.regexp_extract_all(F.lower(F.col(col)), F.lit(WORD_RE), 0)
+    return (df.withColumn("__t", toks)
+            .withColumn("paras", F.when(
+                F.size("__t") > 0,
+                F.transform(
+                    F.sequence(F.lit(0),
+                               F.floor((F.size("__t") + n - 1) / n) - 1),
+                    lambda i: F.array_join(
+                        F.slice("__t", (i * n + 1).cast("int"), n), " ")))
+                .otherwise(F.array().cast("array<string>")))
+            .drop("__t"))
+
+
+def dedup_paragraphs(df: DataFrame, paras_col: str = "paras",
+                     id_col: str = "doc_id", sep: str = "\n\n") -> DataFrame:
+    """Corpus-wide EXACT PARAGRAPH dedup with positional reconstruction
+    (sub-document granularity — boilerplate paragraphs repeat across pages
+    even when no two full documents match).  Keeps only the first
+    occurrence of each distinct paragraph — first = min (doc_id, pos),
+    made total by the position tiebreak so re-runs and engines agree —
+    then rebuilds every document from its surviving paragraphs in original
+    order.  Documents whose every paragraph was seen earlier disappear
+    (they contribute nothing).
+
+    Returns ``(id, n_total, n_kept, text_dedup)``.
+
+    Scale shape: one shuffle on the paragraph hash (the semantic minimum —
+    global first-occurrence needs global visibility of each hash) and one
+    map-side-combined groupBy back on the doc id; paragraphs travel the
+    hash shuffle as (id, pos, sha) — 32-byte keys, not the text, would be
+    the next refinement at true 100 TB (join the kept set back to fetch
+    text), kept simple here because the reconstruction needs the text
+    anyway."""
+    p = df.select(F.col(id_col),
+                  F.posexplode(paras_col).alias("pos", "para"))
+    w = Window.partitionBy("h").orderBy(id_col, "pos")
+    k = (p.withColumn("h", F.sha2("para", 256))
+         .withColumn("rn", F.row_number().over(w)))
+    tot = p.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_total"))
+    kept = (k.where(F.col("rn") == 1)
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                         lambda x: x["para"]),
+                     sep).alias("text_dedup")))
+    return kept.join(tot, id_col)
 
 
 def contamination(corpus: DataFrame, eval_df: DataFrame, col: str = "text",

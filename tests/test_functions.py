@@ -114,6 +114,32 @@ def test_pack_sequences_invariants(spark):
     assert any(r["seq_last"] > r["seq_first"] for r in out)
 
 
+def test_dedup_paragraphs_keeps_first_occurrence(spark):
+    boiler = "subscribe to our newsletter"
+    df = spark.createDataFrame(
+        [(1, ["unique alpha", boiler, "unique beta"]),
+         (2, [boiler, "unique gamma", boiler]),      # cross- AND within-doc dup
+         (3, [boiler])],                             # nothing survives
+        ["doc_id", "paras"])
+    out = {r["doc_id"]: r for r in dedup.dedup_paragraphs(df).collect()}
+    assert out[1]["text_dedup"] == f"unique alpha\n\n{boiler}\n\nunique beta"
+    assert (out[1]["n_total"], out[1]["n_kept"]) == (3, 3)
+    assert out[2]["text_dedup"] == "unique gamma"
+    assert (out[2]["n_total"], out[2]["n_kept"]) == (3, 1)
+    assert 3 not in out                              # fully-duplicate doc gone
+
+
+def test_chunk_paragraphs_shapes(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(19))), (2, ""), (3, "one two")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r["paras"]
+           for r in dedup.chunk_paragraphs(df, n=8).collect()}
+    assert len(got[1]) == 3 and got[1][0].count(" ") == 7   # 8+8+3 tokens
+    assert got[1][2] == "w16 w17 w18"
+    assert got[2] == [] and got[3] == ["one two"]
+
+
 def test_contamination_flags_leaked_eval_text(spark):
     bench = ("what is the capital of france paris is the capital and "
              "largest city of france")
