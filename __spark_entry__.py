@@ -18,8 +18,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from parquet_python_spark.functions import (dedup, multimodal, sampling,
-                                            similarity, text)
+from parquet_python_spark.functions import (dedup, multimodal, profile,
+                                            sampling, similarity, text)
 from parquet_python_spark.operators import pipeline as pl
 from parquet_python_spark.streaming import incremental as st
 
@@ -486,6 +486,15 @@ def q_dedup_near(spark, sf_dir):
     return out.select("doc_id", "lang")
 
 
+_PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def q_profile(spark, sf_dir):
+    """ANALYZE-style per-column profiling of the documents table (one
+    column-pruned scan per column, single groupBy on the column name)."""
+    return profile.profile(_documents(spark, sf_dir), _PROFILE_COLS)
+
+
 def q_para_dedup(spark, sf_dir):
     """Paragraph-level exact dedup: re-chunk into 8-token paragraphs (the
     synthetic corpus has no newlines), keep only first occurrences
@@ -762,6 +771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_near": q_dedup_near,
         "contamination": q_contamination,
         "para_dedup": q_para_dedup,
+        "profile": q_profile,
         "sample_stratified": q_sample_stratified,
         "mix_corpus": q_mix_corpus,
         "pack_sequences": q_pack_sequences,
@@ -1123,6 +1133,7 @@ def oracle_sql() -> dict[str, str]:
                       FROM reach r JOIN edges e ON r.dst = e.src)
             SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
             FROM reach GROUP BY src""",
+        "profile": profile.profile_sql("documents", _PROFILE_COLS),
         "para_dedup": r"""
             WITH toks AS (SELECT doc_id,
                      regexp_extract_all(lower(text), '[a-z0-9]+') AS t

@@ -3,8 +3,8 @@
 import pytest
 from pyspark.sql import functions as F
 
-from parquet_python_spark.functions import (dedup, multimodal, sampling,
-                                            similarity, text)
+from parquet_python_spark.functions import (dedup, multimodal, profile,
+                                            sampling, similarity, text)
 
 pytestmark = pytest.mark.spark
 
@@ -112,6 +112,16 @@ def test_pack_sequences_invariants(spark):
         assert r["seq_last"] == max(r["seq_first"], (cum - 1) // 100)
     # budget exceeded somewhere → at least one doc straddles a cut
     assert any(r["seq_last"] > r["seq_first"] for r in out)
+
+
+def test_profile_counts_nulls_and_distincts(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (4, "b")], ["id", "s"])
+    got = {r["column"]: r for r in profile.profile(df).collect()}
+    s = got["s"]
+    assert (s["n_rows"], s["n_null"], s["n_distinct"]) == (4, 1, 2)
+    assert (s["min_str"], s["max_str"]) == ("a", "b")
+    assert got["id"]["n_distinct"] == 4 and got["id"]["n_null"] == 0
 
 
 def test_dedup_paragraphs_keeps_first_occurrence(spark):
