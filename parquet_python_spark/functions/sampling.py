@@ -92,18 +92,28 @@ def mix_proportions(df: DataFrame, targets: dict[str, float],
 
 
 def top_k_by(df: DataFrame, k: int, part_col: str, order_cols,
-             id_col: str = "doc_id") -> DataFrame:
+             id_col: str = "doc_id", salts: int = 32) -> DataFrame:
     """Per-group top-k selection (e.g. keep the k highest-quality documents
     per domain).  Appends a ``rnk`` column (1-based) and filters to ≤ k.
+    Ties break on ``id_col`` so the selection is total-ordered and
+    deterministic across engines and retries.
 
-    The window is partitioned by the group key — never a global
-    no-partition window — and ties break on ``id_col`` so the selection is
-    total-ordered and deterministic across engines and retries.  At scale
-    prefer group keys with bounded cardinality per group (domain,
-    source-bucket); row_number over a window shuffles once on the group
-    key, identical to the groupBy the semantics require anyway."""
-    w = Window.partitionBy(part_col).orderBy(*order_cols, F.asc(id_col))
-    return (df.withColumn("rnk", F.row_number().over(w))
+    Two-phase to survive low-cardinality group keys (a handful of domains
+    over 100 TB would otherwise funnel each whole group through ONE window
+    task): phase 1 ranks within (group, salt) — ``salts`` parallel tasks
+    per group, each keeping its local top-k — and phase 2 ranks the
+    ≤ k·salts survivors per group, a bounded-size window.  The result is
+    identical to the single-window form: every global top-k row is within
+    the top-k of its own salt bucket, so phase 1 never discards one."""
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(id_col).cast("string")),
+                         F.lit(salts)))
+    w1 = Window.partitionBy(part_col, "__salt").orderBy(
+        *order_cols, F.asc(id_col))
+    cand = (salted.withColumn("__r1", F.row_number().over(w1))
+            .where(F.col("__r1") <= k).drop("__r1", "__salt"))
+    w2 = Window.partitionBy(part_col).orderBy(*order_cols, F.asc(id_col))
+    return (cand.withColumn("rnk", F.row_number().over(w2))
             .where(F.col("rnk") <= k))
 
 

@@ -94,6 +94,20 @@ def test_mix_proportions_hits_targets(spark, corpus):
         assert abs(by[s] / total - t) < 0.05
 
 
+def test_top_k_by_two_phase_equals_single_window(spark, corpus):
+    from pyspark.sql import Window
+    scored = corpus.withColumn(
+        "score", F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(997)))
+    got = sampling.top_k_by(scored, 7, "lang", [F.desc("score")],
+                            salts=5).collect()
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("doc_id"))
+    want = (scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 7).collect())
+    key = lambda r: (r["lang"], r["rnk"], r["doc_id"])
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    assert len(got) == 21  # 3 langs x 7
+
+
 def test_mix_rates_unknown_stratum_raises(spark, corpus):
     with pytest.raises(ValueError, match="no rows"):
         sampling.mix_proportions(corpus, {"en": 0.5, "xx": 0.5},
