@@ -1,1 +1,2 @@
-from . import dedup, similarity, text  # noqa: F401
+from . import (dedup, multimodal, profile, sampling,  # noqa: F401
+               similarity, text)
