@@ -35,20 +35,20 @@ def pack(values: np.ndarray, width: int) -> bytes:
         return b""
     if width < 0 or width > MAX_WIDTH:
         raise ValueError(f"width {width} out of range 1..{MAX_WIDTH}")
-    v = np.ascontiguousarray(values, dtype=np.uint64)
-    if width == 8:
-        return v.astype(np.uint8).tobytes()
-    if width == 16:
-        return v.astype("<u2").tobytes()
-    if width == 32:
-        return v.astype("<u4").tobytes()
-    if width == 64:
-        return v.astype("<u8").tobytes()
-    # bits[i, j] = bit j of value i  (LSB-first within each value)
-    shifts = np.arange(width, dtype=np.uint64)
-    bits = ((v[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.uint8)
-    flat = bits.reshape(-1)
-    return np.packbits(flat, bitorder="little").tobytes()
+    v = np.ascontiguousarray(values, dtype="<u8")
+    nbytes_full = (width + 7) // 8
+    if width % 8 == 0:
+        # byte-aligned widths copy the low bytes straight out
+        return np.ascontiguousarray(
+            v.view(np.uint8).reshape(n, 8)[:, :nbytes_full]).tobytes()
+    # byte-decompose, then bit-slice: the value's LSB-first bit stream IS
+    # unpackbits(little) of its little-endian low bytes.  Peak temp is
+    # n*8*ceil(w/8) bytes — the previous (v[:,None] >> shifts) & 1 route
+    # materialized an n*w uint64 broadcast (8*w bytes/value, ~0.5 GB for a
+    # 3.4M-line block at w=18) and was the measured encode-bandwidth hog.
+    vb = v.view(np.uint8).reshape(n, 8)[:, :nbytes_full]
+    bits = np.unpackbits(vb, axis=1, bitorder="little")[:, :width]
+    return np.packbits(bits.reshape(-1), bitorder="little").tobytes()
 
 
 def unpack(raw: bytes | np.ndarray, width: int, count: int) -> np.ndarray:
