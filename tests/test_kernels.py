@@ -22,6 +22,19 @@ def test_bitpack_spec_example():
     assert (out == vals).all()
 
 
+def test_bitpack_every_width_and_ragged_lengths(rng):
+    # full sweep incl. byte-aligned fast paths (24/40/48/56) and the >56
+    # unpackbits fallback; ragged n exercises trailing pad bits
+    for width in range(1, 65):
+        hi = 1 << width
+        for n in (0, 1, 7, 9):
+            vals = (rng.integers(0, min(hi, 2**63 - 1), size=n,
+                                 endpoint=True).astype(np.uint64) % hi)
+            packed = bitpack.pack(vals, width)
+            assert len(packed) == (n * width + 7) // 8
+            assert (bitpack.unpack(packed, width, n) == vals).all()
+
+
 @pytest.mark.parametrize("width", [1, 2, 3, 5, 7, 8, 13, 16, 23, 32, 47, 64])
 def test_bitpack_roundtrip(width, rng):
     n = 1000
