@@ -40,9 +40,12 @@ TARGET_ROWS = int(os.environ.get("BENCH_TARGET_ROWS",
                                  str(max(ENCODE_ROWS // 96, 8192))))
 # encode/compact workers are memory-bandwidth-bound, not core-bound: on
 # this host 6-10 tasks beat 27-64 tasks by 3-8x AND compress better
-# (pipeline.py run_encode/compact_store docstrings carry the measurements)
-ENCODE_TASKS = int(os.environ.get("BENCH_ENCODE_TASKS", "8"))
-COMPACT_TASKS = int(os.environ.get("BENCH_COMPACT_TASKS", "8"))
+# (pipeline.py run_encode/compact_store docstrings carry the measurements).
+# After the bit-pack byte-decomposition cut per-worker memory traffic ~6x,
+# the sweet spot moved up: 12 tasks reads 0.113-0.115 GB/s vs 0.102-0.111
+# at 8/10/16 (ingest ratio 0.145 vs 0.140; compaction restores 0.1187)
+ENCODE_TASKS = int(os.environ.get("BENCH_ENCODE_TASKS", "12"))
+COMPACT_TASKS = int(os.environ.get("BENCH_COMPACT_TASKS", "12"))
 CACHE_DIR = os.environ.get("BENCH_CACHE_DIR", "/tmp/pqs_bench_cache")
 
 HEADLINE = ["roundtrip_sha", "q1_pricing_decoded", "dedup_exact",
