@@ -103,6 +103,13 @@ class BlockStore:
         self.create_view(view)
         return self.spark.sql(query)
 
+    def profile(self, columns=None, exact: bool = True) -> DataFrame:
+        """ANALYZE-style per-column stats over the decoded store (see
+        :mod:`..functions.profile`; ``exact=False`` switches distinct
+        counts to HyperLogLog++ for real scale)."""
+        from .functions.profile import profile as _profile
+        return _profile(self.to_spark(columns=columns), columns, exact)
+
     def head(self, n: int, columns=None) -> DataFrame:
         return pl.head_rows(self.spark, self.path, n, columns=columns)
 

@@ -43,6 +43,14 @@ def test_sql_over_decoded_view(store):
         [(r["lang"], r["n"]) for r in want]
 
 
+def test_profile_over_store(store):
+    bs, df = store
+    prof = {r["column"]: r for r in bs.profile(["lang", "repo"]).collect()}
+    assert prof["lang"]["n_rows"] == df.count()
+    assert prof["lang"]["n_distinct"] == df.select("lang").distinct().count()
+    assert prof["repo"]["n_null"] == 0
+
+
 def test_head_and_iter(store):
     bs, _ = store
     assert bs.head(7).count() == 7
