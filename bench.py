@@ -219,6 +219,7 @@ def main():
     names = [n for n in (os.environ.get("BENCH_QUERIES", "").split(",")
                          if os.environ.get("BENCH_QUERIES") else HEADLINE)]
     spark = build_spark(CPUS)
+    result = None
     try:
         enc = bench_encode(spark, ENCODE_ROWS)
         # phase hygiene: the encode job leaves the heap full of shuffle /
@@ -240,9 +241,44 @@ def main():
             "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
             "encode": enc,
         }
-        print(json.dumps(result))
     finally:
+        # crash-proof the evidence: BENCH_r03 was lost because the one-line
+        # JSON printed BEFORE spark.stop() scrolled out of the driver's
+        # tail capture under a storm of daemon.py BrokenPipe tracebacks at
+        # shutdown. Persist to a file first, stop with stderr muted (the
+        # tracebacks come from reaped python-worker daemons and carry no
+        # information), then print the JSON line LAST so it is the tail.
+        if result is not None:
+            here = os.path.dirname(os.path.abspath(__file__))
+            with open(os.path.join(here, "BENCH_RESULT.json"), "w") as f:
+                json.dump(result, f)
+                f.write("\n")
+        _quiet_stop(spark)
+    if result is not None:
+        print(json.dumps(result), flush=True)
+
+
+def _quiet_stop(spark) -> None:
+    """spark.stop() with OS-level stderr routed to /dev/null.
+
+    The python-worker daemons inherit our stderr fd; when the JVM tears
+    down their sockets they each dump a BrokenPipeError traceback. dup2 to
+    /dev/null silences the children too (they share the fd), unlike a
+    sys.stderr-level redirect.
+    """
+    sys.stderr.flush()
+    saved = os.dup(2)
+    devnull = os.open(os.devnull, os.O_WRONLY)
+    try:
+        os.dup2(devnull, 2)
         spark.stop()
+        # the daemons flush their tracebacks asynchronously after stop()
+        # returns; give them a beat before restoring stderr
+        time.sleep(2)
+    finally:
+        os.dup2(saved, 2)
+        os.close(saved)
+        os.close(devnull)
 
 
 if __name__ == "__main__":

@@ -100,3 +100,25 @@ def test_dtype_conflict_raises(spark, tmp_path):
                   target_rows=40, resume=False, generation=1)
     with pytest.raises(ValueError, match="conflicting dtypes"):
         pl.decode_blocks(pl.read_blocks(spark, store)).collect()
+
+
+def test_projecting_only_new_column_null_fills_old_parts(spark, tmp_path):
+    """r3 ADVICE (medium): columns=['stars'] — a projection containing NO
+    column present in the older generation — must still serve one row per
+    old-part row (NULL), not silently drop those parts (the reference
+    NA-fills absent columns for every row group, api.py:566-573)."""
+    store = str(tmp_path / "s")
+    base = _base(spark)
+    pl.run_encode(base, store, columns=["doc_id", "text"],
+                  target_rows=40, resume=False)
+    newer = (base.withColumn("stars", F.col("doc_id") * 2)
+             .where(F.col("doc_id") < 20))
+    pl.run_encode(newer, store, columns=["doc_id", "text", "stars"],
+                  target_rows=40, resume=False, generation=1)
+    d = pl.decode_blocks(pl.read_blocks(spark, store), columns=["stars"])
+    assert d.columns == ["stars"]
+    assert d.count() == 120
+    assert d.where(F.col("stars").isNull()).count() == 100
+    got = sorted(r["stars"] for r in
+                 d.where(F.col("stars").isNotNull()).collect())
+    assert got == [i * 2 for i in range(20)]
