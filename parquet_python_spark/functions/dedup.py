@@ -204,6 +204,7 @@ def dedup_clusters(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
              .distinct().cache())
     labels = (edges.select(F.col("src").alias("v"))
               .distinct().withColumn("lbl", F.col("v")).localCheckpoint())
+    changed = 0
     for _ in range(max_iter):
         nb_min = (edges.join(labels.select(F.col("v").alias("dst"),
                                            F.col("lbl").alias("nl")), "dst")
@@ -220,6 +221,16 @@ def dedup_clusters(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # r3 ADVICE: min-label propagation needs ~diameter rounds; if the
+        # loop exhausted while labels were still moving, a chain-shaped
+        # component is split across labels and a downstream dedup would
+        # silently keep extra duplicates — refuse loudly instead
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iter} rounds — a "
+            "component's diameter exceeds max_iter; raise max_iter or use "
+            "the large-star/small-star scheme (Kiveris et al., SoCC'14) "
+            "for adversarially long chains")
     return labels.select(F.col("v").alias("doc_id"),
                          F.col("lbl").alias("cluster_id"))
 

@@ -638,6 +638,21 @@ def encode_table_local(df: DataFrame, columns: list[str] | None = None,
             # the composition exact to ~9e7 tasks x 1e5 chunks x 1e6 pages
             pages = np.asarray(out["page_id"].combine_chunks(),
                                dtype=np.int64)
+            # r3 ADVICE: overflowing either field would silently collide
+            # page ids across chunks (surfacing later as a misleading
+            # 'duplicate pages' decode error) — fail at encode time with
+            # an accurate message instead
+            if chunk >= 100_000:
+                raise ValueError(
+                    f"encode task {pid} streamed {chunk + 1} chunks — the "
+                    "page-id composition supports < 100000 per task; "
+                    "raise ENCODE_CHUNK_BYTES or split the input further")
+            max_page = int(pages.max()) if len(pages) else 0
+            if max_page >= 1_000_000:
+                raise ValueError(
+                    f"a sub-block produced {max_page + 1} pages — the "
+                    "page-id composition supports < 1000000 per chunk; "
+                    "raise page_bytes or lower ENCODE_CHUNK_BYTES")
             new_pages = pa.array((pid * 100_000 + chunk) * 1_000_000 + pages,
                                  type=pa.int64())
             idx = out.schema.get_field_index("page_id")

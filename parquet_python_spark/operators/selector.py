@@ -207,7 +207,11 @@ def _choose_float(samp: pa.Array, vals: pa.Array, dt: int, n: int,
     # (Arrow dictionary_encode compares by value) — so such pages keep
     # bit-exact codecs only (PLAIN/BSS/DECFLOAT preserve payloads; both
     # cases found by property fuzzing)
-    v_np = np.asarray(vals, dtype=np_t)
+    # drop nulls BEFORE the check: converting a null-bearing Arrow array
+    # fills null slots with NaN, which disqualified DICT for ANY
+    # null-bearing float page even when no real NaN/-0.0 exists (r3
+    # ADVICE — a compression regression, not a correctness one)
+    v_np = np.asarray(vals.drop_null(), dtype=np_t)
     bit_unsafe = bool(np.isnan(v_np).any()
                       or (np.signbit(v_np) & (v_np == 0)).any())
     if not bit_unsafe:

@@ -49,3 +49,28 @@ def test_bss_pipeline_roundtrip_gzip(spark):
     a = src.select("event_id", "fval")
     assert dec.exceptAll(a).count() == 0 and a.exceptAll(dec).count() == 0
     blocks.unpersist()
+
+
+def test_nulls_alone_do_not_disqualify_float_dict():
+    """r3 ADVICE: the NaN/-0.0 bit-safety check must run on the non-null
+    values only — nulls are not NaN payloads, and a low-cardinality
+    null-bearing float column should still dictionary-encode."""
+    import pyarrow as pa
+
+    from parquet_python_spark.operators import encoder, selector
+
+    arr = pa.array([1.5, 2.5, None] * 2000, type=pa.float64())
+    c = selector.choose(arr)
+    assert c.codec_name == "dict"
+    assert encoder.decode_block(encoder.encode_block(arr, c.codec)).equals(arr)
+
+
+def test_real_nan_still_blocks_float_dict():
+    import math
+
+    import pyarrow as pa
+
+    from parquet_python_spark.operators import selector
+
+    arr = pa.array(([1.5, 2.5, None] * 2000) + [math.nan], type=pa.float64())
+    assert selector.choose(arr).codec_name != "dict"
