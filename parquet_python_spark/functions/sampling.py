@@ -27,22 +27,34 @@ from pyspark.sql import DataFrame, Window, functions as F
 HASH_SPACE = 1 << 32  # first 8 md5 hex chars, uniform on [0, 2^32)
 
 
-def _hash_u32(id_col: str):
-    """uint32 from the md5 hex prefix of the id — portable to any SQL engine
-    as ``('0x' || substring(md5(id), 1, 8))::BIGINT``."""
-    return F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
-                  16, 10).cast("long")
+def _hash_u32(id_col: str, hash: str = "md5"):
+    """uint32 from the id, uniform on [0, 2^32).
+
+    ``md5`` (oracle twin) is portable to any SQL engine as
+    ``('0x' || substring(md5(id), 1, 8))::BIGINT``; ``xxhash64``
+    (production twin) takes the top 32 bits of Spark's native hash —
+    no digest/hex materialization per row."""
+    if hash == "xxhash64":
+        return F.shiftrightunsigned(
+            F.xxhash64(F.col(id_col).cast("string")), 32)
+    if hash == "md5":
+        return F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+                      16, 10).cast("long")
+    raise ValueError(f"unknown hash {hash!r} (md5 | xxhash64)")
 
 
 def sample_stratified(df: DataFrame, rates: dict[str, float],
                       strata_col: str = "lang", id_col: str = "doc_id",
-                      default_rate: float = 0.0) -> DataFrame:
+                      default_rate: float = 0.0,
+                      hash: str = "md5") -> DataFrame:
     """Keep each row of stratum ``s`` with probability ``rates[s]``,
     deterministically in the row id.  Strata absent from ``rates`` fall back
     to ``default_rate`` (0.0 = drop, the curation default).
 
     Plan shape: broadcast-join of the tiny rate table onto the fact rows +
     a map-only filter — no shuffle of the corpus, survives any scale-up.
+    ``hash`` picks the oracle (md5) or production (xxhash64) twin; both
+    are deterministic in the id, so retries keep the same sample.
     """
     spark = df.sparkSession
     rate_rows = [(k, int(min(max(v, 0.0), 1.0) * HASH_SPACE))
@@ -50,7 +62,7 @@ def sample_stratified(df: DataFrame, rates: dict[str, float],
     rtab = spark.createDataFrame(rate_rows, f"{strata_col} string, __thr long")
     dflt = int(min(max(default_rate, 0.0), 1.0) * HASH_SPACE)
     return (df.join(F.broadcast(rtab), strata_col, "left")
-            .where(_hash_u32(id_col) < F.coalesce("__thr", F.lit(dflt)))
+            .where(_hash_u32(id_col, hash) < F.coalesce("__thr", F.lit(dflt)))
             .drop("__thr"))
 
 
@@ -71,7 +83,8 @@ def sample_stratified_sql(table: str, rates: dict[str, float],
 
 def mix_proportions(df: DataFrame, targets: dict[str, float],
                     strata_col: str = "lang",
-                    id_col: str = "doc_id") -> DataFrame:
+                    id_col: str = "doc_id",
+                    hash: str = "md5") -> DataFrame:
     """Rebalance the corpus to target mixture proportions by downsampling.
 
     Finds the largest total size ``T`` such that every stratum can supply
@@ -88,7 +101,8 @@ def mix_proportions(df: DataFrame, targets: dict[str, float],
            for r in (df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n"))
                      .collect())}
     rates = _mix_rates(cnt, targets)
-    return sample_stratified(df, rates, strata_col, id_col, default_rate=0.0)
+    return sample_stratified(df, rates, strata_col, id_col,
+                             default_rate=0.0, hash=hash)
 
 
 def top_k_by(df: DataFrame, k: int, part_col: str, order_cols,
