@@ -44,12 +44,42 @@ def _doc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
 
 
+_DOC_BLOCKS_CACHE: dict = {}
+_LI_BLOCKS_CACHE: dict = {}
+
+
+def _li_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-partitioned encoded lineitem, shared by the three TPC-H-shaped
+    queries (same cache rationale as ``_doc_blocks``).  target_rows=50k
+    salts every year-repo into its own mono-year parts (at default 250k
+    the small year-repos bin-pack into mixed-year buckets and date
+    pruning loses its layout)."""
+    key = (id(spark), sf_dir)
+    df = _LI_BLOCKS_CACHE.get(key)
+    if df is None:
+        df = pl.encode_table(_lineitem_source(spark, sf_dir),
+                             columns=LINEITEM_COLS,
+                             target_rows=50_000).persist()
+        _LI_BLOCKS_CACHE[key] = df
+    return df
+
+
 def _doc_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: decode consumes lazy blocks more than once (schema
     # inference collect, optional stats pruning, decode) — without it the
-    # encode re-runs per consumer
-    return pl.encode_table(_doc_source(spark, sf_dir),
-                           columns=DOC_COLS).persist()
+    # encode re-runs per consumer.  Cached per (session, sf_dir): ~15
+    # queries() entries consume the same encoded table, and a driver run
+    # that executes the whole dict would otherwise encode it 15 times and
+    # accumulate 15 separate persisted copies (r3's run died partway —
+    # cost and memory growth in one).  clearCache() between bench queries
+    # just re-materializes the one shared plan lazily.
+    key = (id(spark), sf_dir)
+    df = _DOC_BLOCKS_CACHE.get(key)
+    if df is None:
+        df = pl.encode_table(_doc_source(spark, sf_dir),
+                             columns=DOC_COLS).persist()
+        _DOC_BLOCKS_CACHE[key] = df
+    return df
 
 
 def _events_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -165,14 +195,10 @@ def q_q1_pricing_decoded(spark, sf_dir):
     shuffle, and the shipdate filter prunes whole parts on typed numeric
     stats (year-partitioned layout) before decode — r1 decoded all 11
     columns of every block and filtered after."""
-    # target_rows=50k salts every year-repo into its own mono-year parts
-    # (at default 250k the small year-repos bin-pack into mixed-year
-    # buckets and date pruning loses its layout).  persist(): the decode
-    # path consumes the lazy blocks three times (schema inference, stats
-    # pruning, decode) — without it the encode re-runs each time.
-    blocks = pl.encode_table(_lineitem_source(spark, sf_dir),
-                             columns=LINEITEM_COLS,
-                             target_rows=50_000).persist()
+    # persist()+cache: the decode path consumes the lazy blocks three
+    # times (schema inference, stats pruning, decode) and two sibling
+    # queries reuse the same table — see _li_blocks.
+    blocks = _li_blocks(spark, sf_dir)
     d = pl.decode_blocks(
         blocks,
         columns=["l_returnflag", "l_linestatus", "l_quantity",
@@ -192,9 +218,7 @@ def q_q1_rollup(spark, sf_dir):
     """Grouping sets over decoded blocks (SURVEY §2e: aggs the reference
     lacks, free from Spark SQL): ROLLUP on returnflag with a grand-total
     row."""
-    blocks = pl.encode_table(_lineitem_source(spark, sf_dir),
-                             columns=LINEITEM_COLS,
-                             target_rows=50_000).persist()
+    blocks = _li_blocks(spark, sf_dir)
     d = pl.decode_blocks(blocks, columns=["l_returnflag", "l_quantity"])
     return (d.rollup("l_returnflag")
             .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
@@ -222,9 +246,7 @@ def q_q3_shipping(spark, sf_dir):
         dress(spark.read.parquet(f"{sf_dir}/orders.parquet"), "o_orderkey"),
         ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
     ).persist()
-    linb = pl.encode_table(_lineitem_source(spark, sf_dir),
-                           columns=LINEITEM_COLS,
-                           target_rows=50_000).persist()
+    linb = _li_blocks(spark, sf_dir)
     c = pl.decode_blocks(cust, columns=["c_custkey"],
                          filters=[("c_mktsegment", "==", "BUILDING")])
     o = pl.decode_blocks(ordb,
@@ -734,8 +756,53 @@ def q_media_features(spark, sf_dir):
                                        fake=True)
 
 
+def q_overwrite_repo(spark, sf_dir):
+    """Partition overwrite + repo removal in one maintenance pass
+    (fastparquet overwrite / remove_row_groups, writer.py:1497-1601,
+    api.py:415-574): src3's rows are replaced with an updated copy
+    (n_chars + 1000), src7 is dropped entirely; the decoded store then
+    serves exactly the post-maintenance table."""
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="pqs_ovw_")
+    try:
+        src = _doc_source(spark, sf_dir)
+        # 'repo' must be encoded (replacing one repo of a shared bucket
+        # decodes the bucket and retains other repos' rows by label), and
+        # 'path'/'commit' too: the retained rows re-enter the partitioner,
+        # whose skew-split key is xxhash64(path, commit)
+        cols = ["doc_id", "source", "n_chars", "repo", "path", "commit"]
+        pl.run_encode(src, f"{base}/s", columns=cols, target_rows=2000,
+                      resume=False)
+        repl = (src.where(F.col("source") == "src3")
+                .withColumn("n_chars", F.col("n_chars") + F.lit(1000)))
+        pl.overwrite_partitions(repl, f"{base}/s", columns=cols,
+                                target_rows=2000)
+        pl.remove_repos(spark, f"{base}/s", ["src7"])
+        d = pl.decode_blocks(pl.read_blocks(spark, f"{base}/s"))
+        rows = d.select("doc_id", "source", "n_chars").collect()
+        return spark.createDataFrame(
+            [(int(r["doc_id"]), r["source"], int(r["n_chars"]))
+             for r in rows],
+            "doc_id long, source string, n_chars long")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver runs these in dict order and r3's run died
+    # partway (BrokenPipe teardown), so rows that have never had a driver
+    # verdict come FIRST — a partial run then verifies new surface before
+    # re-confirming old green rows (r3 VERDICT task 2).
     return {
+        "overwrite_repo": q_overwrite_repo,
+        "hive_export": q_hive_export,
+        "kv_metadata": q_kv_metadata,
+        "compact_roundtrip": q_compact_roundtrip,
+        "schema_evolution": q_schema_evolution,
+        "sorted_scan": q_sorted_scan,
+        "media_features": q_media_features,
         "roundtrip_sha": q_roundtrip_sha,
         "roundtrip_sha_gzip": q_roundtrip_sha_gzip,
         "roundtrip_events": q_roundtrip_events,
@@ -786,12 +853,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprint": q_winnow_fingerprint,
         "point_lookup": q_point_lookup,
         "roundtrip_binary": q_roundtrip_binary,
-        "hive_export": q_hive_export,
-        "kv_metadata": q_kv_metadata,
-        "compact_roundtrip": q_compact_roundtrip,
-        "schema_evolution": q_schema_evolution,
-        "sorted_scan": q_sorted_scan,
-        "media_features": q_media_features,
     }
 
 
@@ -844,6 +905,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, upper(md5(text)) AS digest_hex FROM documents",
         "hive_export":
             "SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang",
+        "overwrite_repo":
+            "SELECT doc_id, source, "
+            "(CASE WHEN source = 'src3' THEN n_chars + 1000 "
+            "ELSE n_chars END)::BIGINT AS n_chars "
+            "FROM documents WHERE source <> 'src7'",
         "kv_metadata":
             "SELECT 'max_doc' AS mkey, max(doc_id)::VARCHAR AS mval "
             "FROM documents UNION ALL "

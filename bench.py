@@ -54,7 +54,7 @@ HEADLINE = ["roundtrip_sha", "q1_pricing_decoded", "dedup_exact",
 # stays comparable across rounds (winnow: VERDICT-r2 asked for its bench
 # time after the JVM-side rewrite; point_lookup: bloom-pruned equality)
 EXTRA = ["winnow_fingerprint", "point_lookup", "pack_sequences",
-         "sample_stratified"]
+         "sample_stratified", "minhash_lsh_xx"]
 
 
 def build_spark(cpus: int):
@@ -191,10 +191,24 @@ def bench_encode(spark, n_rows: int) -> dict:
             "parts_compacted": comp_res["parts_compacted"]}
 
 
+def _bench_local_queries():
+    """Bench-only timings with no driver/oracle row: production twins
+    whose engine-portable md5 siblings ARE the oracle rows."""
+    from parquet_python_spark.functions import dedup
+
+    def minhash_lsh_xx(spark, sf_dir):
+        # same args as the headline minhash_lsh row, md5 -> xxhash64
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return dedup.minhash_lsh_pairs(docs, n_hashes=8, bands=2, tau=0.25,
+                                       hash="xxhash64")
+
+    return {"minhash_lsh_xx": minhash_lsh_xx}
+
+
 def bench_queries(spark, names) -> dict:
     import __spark_entry__ as entry_mod
 
-    qs = entry_mod.queries()
+    qs = {**entry_mod.queries(), **_bench_local_queries()}
     # untimed python-worker warm-up: the first mapInPandas query otherwise
     # pays pandas/numpy import in every worker under this sandbox's
     # serialized page faults (same steady-state stance as bench_encode)

@@ -1022,6 +1022,15 @@ def overwrite_partitions(df: DataFrame, path: str,
     # rows of OTHER repos living in the affected buckets survive
     retained_rows = (decode_blocks(aff_blocks)
                      .join(repos, "repo", "left_anti"))
+    missing = [c for c in ("repo", "path", "commit")
+               if c not in retained_rows.columns]
+    if missing:
+        # fail at plan time with the real cause — otherwise this surfaces
+        # as an unresolved-column error deep inside the partitioner
+        raise ValueError(
+            f"overwrite_partitions needs columns {missing} encoded in the "
+            "store: retained rows of shared buckets re-enter the "
+            "partitioner (repo label + xxhash64(path, commit) skew split)")
     union = retained_rows.unionByName(df.select(*retained_rows.columns))
     cols = columns or [c for c in union.columns if c not in _HELPER_COLS]
     new_blocks = encode_table(part.assign_part_keys(union, plan), cols,
