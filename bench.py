@@ -74,6 +74,11 @@ def build_spark(cpus: int):
         # loopback TCP to python workers collapses under >8 concurrent
         # streams in this sandbox (kernel sys-time storm); UDS bypasses it
         .config("spark.python.unix.domain.socket.enabled", "true")
+        # fine read splits (~1 per cached file): encode_tasks coalesces
+        # read partitions onto workers, and coarse splits quantize into
+        # uneven file shares — a 1.5x straggler cost the r3 local scaling
+        # row 0.64 vs 0.8+ (see scripts/scaling_bench.py)
+        .config("spark.sql.files.maxPartitionBytes", "8m")
         .config("spark.executorEnv.MALLOC_MMAP_MAX_", "0")
         .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "-1")
         .config("spark.executorEnv.ARROW_DEFAULT_MEMORY_POOL", "system")

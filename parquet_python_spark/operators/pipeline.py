@@ -964,7 +964,13 @@ def run_encode(df: DataFrame, path: str,
     matters more than ingest throughput/network.
 
     ``encode_tasks``: optional cap on concurrent encode workers (local
-    strategy only; implemented as a shuffle-free ``coalesce``).  Encode
+    strategy only; implemented as a shuffle-free ``coalesce``).  Caveat:
+    ``coalesce`` merges ADJACENT input partitions without rebalancing, so
+    coarse read splits quantize into uneven worker shares (6 partitions
+    coalesced to 4 workers deal a 1.5x straggler).  Feed it fine-grained
+    partitions — for parquet sources set
+    ``spark.sql.files.maxPartitionBytes`` so there are >= ~8 read
+    partitions per worker.  Encode
     kernels are MEMORY-BANDWIDTH-bound, not core-bound: sizing workers to
     the machine's bandwidth, not its vCPU count, is both faster and
     compresses better (bigger per-task sub-blocks amortize dictionaries).

@@ -55,6 +55,14 @@ def measure(cpus: int, rows: int, reps: int, strategy: str) -> dict:
              .config("spark.driver.memory", "12g")
              .config("spark.driver.extraJavaOptions", "-Xms12g")
              .config("spark.python.unix.domain.socket.enabled", "true")
+             # one read partition per ~7 MB input file: the local strategy
+             # coalesces read partitions onto encode workers, and the
+             # default 128 MB split packed 1.17 GB into 6 partitions —
+             # coalesce(4) then dealt [1.5x, 3x, 1.5x, 2x] file shares and
+             # the 1.5x straggler bounded 4-core efficiency at 0.67 (the
+             # r3 local row read 0.643 BECAUSE of this quantization, not
+             # the engine).  64 fine partitions deal 16/16/16/16.
+             .config("spark.sql.files.maxPartitionBytes", "8m")
              .getOrCreate())
     path = f"/tmp/pqs_bench_cache/code_{rows}.parquet"
     if not os.path.exists(path + "/_SUCCESS"):
