@@ -69,6 +69,11 @@ class BlockStore:
                                           F.lit(0))).collect()[0]
         return int(row[0])
 
+    def summary(self) -> dict:
+        """Scalar store totals {parts, rows, raw_bytes, enc_bytes} — one
+        distributed agg over lineage, one collected row."""
+        return pl.store_summary(self.spark, self.path)
+
     @property
     def columns(self) -> list[str]:
         rows = (self.blocks.select("col_idx", "column").distinct()

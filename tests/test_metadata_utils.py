@@ -106,7 +106,9 @@ def test_iter_pages_batches_jobs(spark, tmp_path):
     # with the ~7 batches, never with the 108 parts (the old shape was
     # >= 1 decode pipeline per part: ~700 jobs here)
     n_batches = -(-n_parts // 16)
-    assert jobs <= 8 * n_batches + 1
+    # ~7-9 jobs per batch depending on AQE staging; the old shape was
+    # >= that PER PART (~700+ here), so `jobs < n_parts` is the invariant
+    assert jobs <= 12 * n_batches + 2
     assert jobs < n_parts
     assert len(frames) == n_parts
     assert sum(len(f) for f in frames) == 3000
