@@ -1534,24 +1534,30 @@ def decode_blocks(blocks: DataFrame, columns: list[str] | None = None,
         # projected column existed has no matching block, so it would form
         # no decode group and its rows would silently vanish instead of
         # null-filling (the reference NA-fills absent columns for every
-        # row group, fastparquet api.py:566-573).  Retain one SIZER column
-        # per uncovered part — its decoded length sizes the null fill;
-        # decode_group ignores non-projected columns otherwise.  The
-        # check is metadata-only (part_key/column, payload never read)
-        # and the sizer set is empty whenever every part carries at least
-        # one projected column.
-        uncovered = (all_blocks
-                     .groupBy("part_key")
-                     .agg(F.max(cond.cast("int")).alias("_has"),
-                          F.min(F.when(~cond, F.col("column")))
-                          .alias("_sizer"))
-                     .where(F.col("_has") == 0)
-                     .select("part_key", "_sizer"))
-        sizer_blocks = (all_blocks
-                        .join(uncovered, "part_key", "inner")
-                        .where(F.col("column") == F.col("_sizer"))
-                        .drop("_sizer"))
-        blocks = blocks.unionByName(sizer_blocks)
+        # row group, fastparquet api.py:566-573).  Gate: one cheap eager
+        # metadata agg (column-pruned — payload never read) detects
+        # whether any part lacks every projected column; homogeneous
+        # stores (the common case) skip the sizer machinery entirely.
+        n_all, n_cov = (all_blocks
+                        .agg(F.countDistinct("part_key"),
+                             F.countDistinct(F.when(cond, F.col("part_key"))))
+                        ).collect()[0]
+        if n_cov < n_all:
+            # retain one SIZER column per uncovered part — its decoded
+            # length sizes the null fill; decode_group ignores
+            # non-projected columns otherwise
+            uncovered = (all_blocks
+                         .groupBy("part_key")
+                         .agg(F.max(cond.cast("int")).alias("_has"),
+                              F.min(F.when(~cond, F.col("column")))
+                              .alias("_sizer"))
+                         .where(F.col("_has") == 0)
+                         .select("part_key", "_sizer"))
+            sizer_blocks = (all_blocks
+                            .join(uncovered, "part_key", "inner")
+                            .where(F.col("column") == F.col("_sizer"))
+                            .drop("_sizer"))
+            blocks = blocks.unionByName(sizer_blocks)
     if filters is not None:
         # resolve filter names against the flat metadata schema: exact
         # (struct-path) spelling wins; else the escaped literal-dot one
