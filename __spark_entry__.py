@@ -756,6 +756,25 @@ def q_media_features(spark, sf_dir):
                                        fake=True)
 
 
+def q_roundtrip_json(spark, sf_dir):
+    """JSON object encoding (fastparquet json.py:98-146, write hook
+    writer.py:203-224, ``object_encoding='json'``): a struct column is
+    serialized to JSON text JVM-side (to_json), rides the block pipeline
+    as a string column (selector picks fsst/dict), and parses back typed
+    on decode (from_json) — flattened to scalars for the canonicalizer."""
+    from parquet_python_spark.functions import objects
+
+    src = (_events_source(spark, sf_dir)
+           .withColumn("obj", F.struct(F.col("user_id").alias("u"),
+                                       F.col("event_type").alias("t"))))
+    enc_df = objects.encode_json_columns(src, ["obj"])
+    blocks = pl.encode_table(enc_df, columns=["event_id", "obj"]).persist()
+    d = pl.decode_blocks(blocks)
+    out = objects.decode_json_columns(d, {"obj": "struct<u:bigint,t:string>"})
+    return out.select("event_id", F.col("obj.u").alias("u"),
+                      F.col("obj.t").alias("t"))
+
+
 def q_overwrite_repo(spark, sf_dir):
     """Partition overwrite + repo removal in one maintenance pass
     (fastparquet overwrite / remove_row_groups, writer.py:1497-1601,
@@ -796,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verdict come FIRST — a partial run then verifies new surface before
     # re-confirming old green rows (r3 VERDICT task 2).
     return {
+        "roundtrip_json": q_roundtrip_json,
         "overwrite_repo": q_overwrite_repo,
         "hive_export": q_hive_export,
         "kv_metadata": q_kv_metadata,
@@ -905,6 +925,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, upper(md5(text)) AS digest_hex FROM documents",
         "hive_export":
             "SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang",
+        "roundtrip_json":
+            "SELECT event_id, user_id AS u, event_type AS t FROM events",
         "overwrite_repo":
             "SELECT doc_id, source, "
             "(CASE WHEN source = 'src3' THEN n_chars + 1000 "
