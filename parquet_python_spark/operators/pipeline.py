@@ -880,8 +880,22 @@ def read_blocks(spark: SparkSession, path: str) -> DataFrame:
 def read_lineage(spark: SparkSession, path: str) -> DataFrame:
     """One combined row per part: the lineage directory is a delta log
     (see ``write_blockstore``), so the associative COMBINE rollup is
-    applied on read.  Already-folded logs pass through it unchanged."""
-    return _combine_lineage(spark.read.parquet(f"{path}/lineage"))
+    applied on read.  Already-folded logs pass through it unchanged.
+
+    Self-healing: a crash between ``_swap_lineage``'s two renames leaves
+    no ``lineage`` dir but a fully-written ``lineage.tmp`` (its _SUCCESS
+    marks completeness) — finish the swap instead of failing (the same
+    roll-forward an Iceberg commit does from its metadata log)."""
+    import os as _os
+    import shutil
+
+    ldir = f"{path}/lineage"
+    tmp = f"{path}/lineage.tmp"
+    if (not _os.path.isdir(ldir)
+            and _os.path.exists(f"{tmp}/_SUCCESS")):
+        _os.rename(tmp, ldir)
+        shutil.rmtree(f"{path}/lineage.dead", ignore_errors=True)
+    return _combine_lineage(spark.read.parquet(ldir))
 
 
 def completed_part_keys(spark: SparkSession, path: str) -> DataFrame | None:

@@ -102,3 +102,25 @@ def test_maintenance_commit_after_fold_roundtrips(spark, tmp_path):
     full = src.select(*COLS).unionByName(_docs(spark, 400, 500)
                                          .select(*COLS))
     assert pl.verify_roundtrip(full, dec)["ok"]
+
+
+def test_swap_crash_window_rolls_forward(spark, tmp_path):
+    """A crash between the swap's two renames (old dir moved away, new
+    dir not yet in place) must roll forward on the next read: the
+    fully-written lineage.tmp (_SUCCESS present) IS the committed state."""
+    import os
+    import shutil
+
+    store = str(tmp_path / "s")
+    pl.run_encode(_docs(spark, 0, 300), store, columns=COLS,
+                  target_rows=100, resume=False)
+    before = pl.store_summary(spark, store)
+    # simulate the crash state: lineage.tmp complete, lineage gone
+    shutil.copytree(f"{store}/lineage", f"{store}/lineage.tmp")
+    shutil.move(f"{store}/lineage", f"{store}/lineage.dead")
+    assert not os.path.isdir(f"{store}/lineage")
+    spark.catalog.refreshByPath(f"{store}/lineage")
+    after = pl.store_summary(spark, store)
+    assert after == before
+    assert os.path.isdir(f"{store}/lineage")
+    assert not os.path.isdir(f"{store}/lineage.dead")
