@@ -59,9 +59,9 @@ def _li_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     if df is None:
         df = pl.encode_table(_lineitem_source(spark, sf_dir),
                              columns=LINEITEM_COLS,
-                             target_rows=50_000).persist()
+                             target_rows=50_000)
         _LI_BLOCKS_CACHE[key] = df
-    return df
+    return df.persist()  # re-register after any clearCache (see _doc_blocks)
 
 
 def _doc_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -77,9 +77,15 @@ def _doc_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _DOC_BLOCKS_CACHE.get(key)
     if df is None:
         df = pl.encode_table(_doc_source(spark, sf_dir),
-                             columns=DOC_COLS).persist()
+                             columns=DOC_COLS)
         _DOC_BLOCKS_CACHE[key] = df
-    return df
+    # re-persist on EVERY call: catalog.clearCache() (bench isolation)
+    # silently unregisters the plan from the CacheManager and is_cached
+    # keeps reporting True — without re-registering, each decode would
+    # re-run the encode for each of its 2-3 consumers (measured 1.3 s ->
+    # 3.1 s per decode).  persist() is an idempotent no-op when the
+    # registration is still live.
+    return df.persist()
 
 
 def _events_source(spark: SparkSession, sf_dir: str) -> DataFrame:
