@@ -121,8 +121,14 @@ def decode(raw: bytes, count: int | None = None) -> np.ndarray:
         return out
     mb_size = block_size // miniblocks
     nd = n - 1
-    deltas = np.empty(0, dtype=np.int64)
-    chunks: list[np.ndarray] = []
+    # Phase 1 — header walk: one cheap Python iteration per BLOCK (the
+    # min_delta varints force sequential parsing), recording each valid
+    # miniblock's (payload offset, width, block min).  The old shape also
+    # looped per MINIBLOCK calling bitpack.unpack on 32 values at a time —
+    # 3k+ tiny unpack calls for a 100k-value page (measured 0.01 GB/s).
+    mb_off: list[int] = []
+    mb_w: list[int] = []
+    mb_min: list[int] = []
     got = 0
     while got < nd:
         zz_min, pos = decode_uvarint(buf, pos)
@@ -133,18 +139,29 @@ def decode(raw: bytes, count: int | None = None) -> np.ndarray:
             if got >= nd:
                 break
             w = int(widths[m])
-            if w == 0:
-                vals = np.zeros(mb_size, dtype=np.uint64)
-            else:
-                nbytes = mb_size * w // 8
-                vals = bitpack.unpack(
-                    np.frombuffer(buf[pos : pos + nbytes], dtype=np.uint8), w, mb_size
-                )
-                pos += nbytes
-            take = min(mb_size, nd - got)
-            chunks.append(vals[:take].astype(np.int64) + min_delta)
-            got += take
-    deltas = np.concatenate(chunks)
-    out[1:] = deltas[:nd]
+            mb_off.append(pos)
+            mb_w.append(w)
+            mb_min.append(min_delta)
+            pos += mb_size * w // 8
+            got += mb_size
+    # Phase 2 — unpack miniblocks GROUPED BY WIDTH: one vectorized
+    # bitpack.unpack per distinct width (<= 65 calls total), gathered
+    # payloads are plain byte copies.
+    n_mb = len(mb_off)
+    w_arr = np.asarray(mb_w, dtype=np.int64)
+    vals = np.empty((n_mb, mb_size), dtype=np.int64)
+    raw_np = np.frombuffer(buf, dtype=np.uint8)
+    for w in np.unique(w_arr):
+        idx = np.flatnonzero(w_arr == w)
+        if w == 0:
+            vals[idx] = 0
+            continue
+        nbytes = mb_size * int(w) // 8
+        gathered = np.concatenate(
+            [raw_np[mb_off[i] : mb_off[i] + nbytes] for i in idx])
+        unpacked = bitpack.unpack(gathered, int(w), mb_size * len(idx))
+        vals[idx] = unpacked.astype(np.int64).reshape(len(idx), mb_size)
+    vals += np.asarray(mb_min, dtype=np.int64)[:, None]
+    out[1:] = vals.reshape(-1)[:nd]
     np.cumsum(out, out=out)
     return out
