@@ -188,6 +188,18 @@ def q_decode_filtered_numeric(spark, sf_dir):
                             filters=[("n_chars", ">", 300)])
 
 
+def q_decode_filtered_dnf(spark, sf_dir):
+    """OR-of-ANDs filter algebra (the reference's list-of-lists DNF form,
+    fastparquet api.py:1125-1183): a part survives pruning if ANY AND-group
+    is stats-possible; the exact row filter re-applies the whole DNF after
+    decode."""
+    return pl.decode_blocks(
+        _doc_blocks(spark, sf_dir),
+        columns=["doc_id", "lang", "n_chars"],
+        filters=[[("lang", "==", "en"), ("n_chars", ">", 300)],
+                 [("lang", "==", "de")]])
+
+
 def q_block_stats(spark, sf_dir):
     return (_doc_blocks(spark, sf_dir)
             .groupBy(F.col("column").alias("col_name"))
@@ -835,6 +847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "roundtrip_json": q_roundtrip_json,
         "overwrite_repo": q_overwrite_repo,
+        "decode_filtered_dnf": q_decode_filtered_dnf,
         "hive_export": q_hive_export,
         "kv_metadata": q_kv_metadata,
         "compact_roundtrip": q_compact_roundtrip,
@@ -945,6 +958,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang",
         "roundtrip_json":
             "SELECT event_id, user_id AS u, event_type AS t FROM events",
+        "decode_filtered_dnf":
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "WHERE (lang = 'en' AND n_chars > 300) OR lang = 'de'",
         "overwrite_repo":
             "SELECT doc_id, source, "
             "(CASE WHEN source = 'src3' THEN n_chars + 1000 "
