@@ -806,6 +806,18 @@ def write_blockstore(blocks: DataFrame, path: str, mode: str = "append"):
     return store_summary(spark, path)
 
 
+def repair_lineage(spark: SparkSession, path: str) -> dict:
+    """Rebuild lineage from the blocks table — recovery for the documented
+    crash window (blocks committed, lineage delta never written).  Resume
+    already dodges duplicate encodes there (``completed_part_keys`` reads
+    BLOCKS, not lineage), but the lost rollup would otherwise under-report
+    ``store_summary``/``count()`` and hide the part from compaction
+    planning forever.  One distributed scan + the same atomic swap as any
+    maintenance commit; returns the repaired summary."""
+    _swap_lineage(spark, path, lineage_from_blocks(read_blocks(spark, path)))
+    return store_summary(spark, path)
+
+
 def store_summary(spark: SparkSession, path: str) -> dict:
     """Scalar store totals from lineage — one distributed agg, one row."""
     row = read_lineage(spark, path).agg(

@@ -74,6 +74,11 @@ class BlockStore:
         distributed agg over lineage, one collected row."""
         return pl.store_summary(self.spark, self.path)
 
+    def repair_lineage(self) -> dict:
+        """Rebuild lineage from blocks after a crashed commit (see
+        ``pipeline.repair_lineage``)."""
+        return pl.repair_lineage(self.spark, self.path)
+
     @property
     def columns(self) -> list[str]:
         rows = (self.blocks.select("col_idx", "column").distinct()
