@@ -58,6 +58,10 @@ DEFAULT_PAGE_BYTES = 8 << 20  # target raw bytes per page across all columns
 # copies).  Bigger chunks -> fewer, larger sub-blocks (better ingest
 # ratio); compaction restores the ratio either way.
 ENCODE_CHUNK_BYTES = 64 << 20
+# page-id composition limits: page_id = (pid * CHUNKS_PER_TASK + chunk)
+#   * PAGES_PER_CHUNK + page — int64-exact to ~9e7 tasks
+CHUNKS_PER_TASK = 100_000
+PAGES_PER_CHUNK = 1_000_000
 
 BLOCKS_SCHEMA = StructType([
     StructField("part_key", LongType(), False),
@@ -590,7 +594,10 @@ def encode_table_local(df: DataFrame, columns: list[str] | None = None,
                        target_rows: int = part.DEFAULT_TARGET_ROWS,
                        page_bytes: int = DEFAULT_PAGE_BYTES,
                        compression: str = "UNCOMPRESSED",
-                       plan: DataFrame | None = None) -> DataFrame:
+                       plan: DataFrame | None = None,
+                       chunk_bytes: int | None = None,
+                       chunks_per_task: int | None = None,
+                       pages_per_chunk: int | None = None) -> DataFrame:
     """Shuffle-ENCODED variant of ``encode_table``: no raw-data exchange.
 
     ``encode_table`` hash-shuffles the raw fact table by part_key (1x raw
@@ -617,6 +624,13 @@ def encode_table_local(df: DataFrame, columns: list[str] | None = None,
         df = part.with_partition_plan(df, target_rows, plan=plan)
     df = _project_for_encode(_with_row_hash(df, cols), cols)
     group_fn = make_encode_group(cols, page_bytes, compression)
+    # captured BY VALUE so the pickled worker closure honors per-call
+    # overrides (module globals re-resolve to defaults on the workers)
+    chunk_bytes = ENCODE_CHUNK_BYTES if chunk_bytes is None else chunk_bytes
+    chunk_lim = (CHUNKS_PER_TASK if chunks_per_task is None
+                 else chunks_per_task)
+    page_lim = (PAGES_PER_CHUNK if pages_per_chunk is None
+                else pages_per_chunk)
 
     def emit_chunk(pid: int, chunk: int, batch_list: list):
         tbl = pa.Table.from_batches(batch_list)
@@ -642,19 +656,20 @@ def encode_table_local(df: DataFrame, columns: list[str] | None = None,
             # page ids across chunks (surfacing later as a misleading
             # 'duplicate pages' decode error) — fail at encode time with
             # an accurate message instead
-            if chunk >= 100_000:
+            if chunk >= chunk_lim:
                 raise ValueError(
                     f"encode task {pid} streamed {chunk + 1} chunks — the "
-                    "page-id composition supports < 100000 per task; "
-                    "raise ENCODE_CHUNK_BYTES or split the input further")
+                    f"page-id composition supports < {chunk_lim} per "
+                    "task; raise ENCODE_CHUNK_BYTES or split the input")
             max_page = int(pages.max()) if len(pages) else 0
-            if max_page >= 1_000_000:
+            if max_page >= page_lim:
                 raise ValueError(
                     f"a sub-block produced {max_page + 1} pages — the "
-                    "page-id composition supports < 1000000 per chunk; "
-                    "raise page_bytes or lower ENCODE_CHUNK_BYTES")
-            new_pages = pa.array((pid * 100_000 + chunk) * 1_000_000 + pages,
-                                 type=pa.int64())
+                    f"page-id composition supports < {page_lim} per "
+                    "chunk; raise page_bytes or lower ENCODE_CHUNK_BYTES")
+            new_pages = pa.array(
+                (pid * chunk_lim + chunk) * page_lim + pages,
+                type=pa.int64())
             idx = out.schema.get_field_index("page_id")
             yield from out.set_column(idx, "page_id", new_pages).to_batches()
 
@@ -676,7 +691,7 @@ def encode_table_local(df: DataFrame, columns: list[str] | None = None,
                 continue
             buf.append(b)
             buf_bytes += b.nbytes
-            if buf_bytes >= ENCODE_CHUNK_BYTES:
+            if buf_bytes >= chunk_bytes:
                 yield from emit_chunk(pid, chunk, buf)
                 chunk += 1
                 buf, buf_bytes = [], 0

@@ -389,3 +389,35 @@ def test_literal_dot_column_does_not_renest(spark, tmp_path):
     assert proj.columns == ["a.b"]
     assert proj.count() == sum(1 for i in range(50) if 2 * i > 50)
     blocks.unpersist()
+
+
+def test_chunk_page_id_overflow_raises(spark, monkeypatch):
+    """r3 ADVICE: a page-id field overflow must fail AT ENCODE TIME with
+    an accurate message, never surface later as a misleading duplicate-
+    pages decode error.  Limits shrunk via monkeypatch to force both
+    overflows cheaply (explicit per-call limits: module globals re-resolve
+    to defaults inside pickled worker closures)."""
+    import pytest
+
+    # > 2 Arrow batches (conftest maxRecordsPerBatch=65536) so the chunk
+    # counter actually advances past the shrunken limit
+    src = (spark.range(140_000)
+           .select(F.col("id").alias("doc_id"),
+                   F.concat(F.lit("text"), F.col("id")).alias("text"),
+                   F.lit("r").alias("repo"),
+                   F.col("id").cast("string").alias("path"),
+                   F.lit("0").alias("commit"))
+           .coalesce(1))
+    # chunk-count overflow: 1-byte chunks -> a new chunk per batch
+    blocks = pl.encode_table_local(src, columns=["doc_id", "text"],
+                                   target_rows=500,
+                                   chunk_bytes=1, chunks_per_task=2)
+    with pytest.raises(Exception, match="page-id composition"):
+        blocks.count()
+    # pages-per-chunk overflow: one whole-chunk sub-block paginates at
+    # the 1024-row floor -> 64 pages >= the shrunken limit
+    blocks = pl.encode_table_local(src, columns=["doc_id", "text"],
+                                   target_rows=1_000_000, page_bytes=64,
+                                   pages_per_chunk=2)
+    with pytest.raises(Exception, match="page-id composition"):
+        blocks.count()
