@@ -1507,9 +1507,8 @@ def merge_stores(spark: SparkSession, paths: list[str], out_path: str) -> dict:
 
 # -------------------------------------------------------------------- decode
 
-def infer_schema_from_blocks(blocks: DataFrame) -> StructType:
-    """Recover the decoded schema (name, order, arrow dtype) from block
-    metadata — the thrift-footer-schema analogue (fastparquet/schema.py).
+def _schema_from_column_rows(rows) -> StructType:
+    """(column, col_idx, dts) records -> decoded StructType.
 
     Schema EVOLUTION aware: generations appended with extra columns give
     the union of all column names (first-seen col_idx order, so old
@@ -1517,11 +1516,8 @@ def infer_schema_from_blocks(blocks: DataFrame) -> StructType:
     dtype differs across parts is a corrupt/unsupported store and raises
     loudly rather than mis-decoding (type widening is re-encode-time
     work — ``recode_blocks`` — not read-time guesswork)."""
-    rows = (blocks.groupBy("column")
-            .agg(F.min("col_idx").alias("col_idx"),
-                 F.collect_set("dtype_id").alias("dts"))
-            .orderBy("col_idx", "column").collect())
     from pyspark.sql.pandas.types import from_arrow_type
+    rows = sorted(rows, key=lambda r: (r["col_idx"], r["column"]))
     conflicts = {r["column"]: sorted(r["dts"]) for r in rows
                  if len(r["dts"]) > 1}
     if conflicts:
@@ -1532,9 +1528,20 @@ def infer_schema_from_blocks(blocks: DataFrame) -> StructType:
     # (Spark has no unsigned types; reference promotion api.py:974-996)
     return StructType([
         StructField(r["column"],
-                    from_arrow_type(enc.spark_safe_arrow_type(r["dts"][0])),
+                    from_arrow_type(enc.spark_safe_arrow_type(sorted(r["dts"])[0])),
                     True)
         for r in rows])
+
+
+def infer_schema_from_blocks(blocks: DataFrame) -> StructType:
+    """Recover the decoded schema (name, order, arrow dtype) from block
+    metadata — the thrift-footer-schema analogue (fastparquet/schema.py).
+    See ``_schema_from_column_rows`` for the evolution semantics."""
+    rows = (blocks.groupBy("column")
+            .agg(F.min("col_idx").alias("col_idx"),
+                 F.collect_set("dtype_id").alias("dts"))
+            .collect())
+    return _schema_from_column_rows(rows)
 
 
 def decode_blocks(blocks: DataFrame, columns: list[str] | None = None,
@@ -1566,24 +1573,33 @@ def decode_blocks(blocks: DataFrame, columns: list[str] | None = None,
             cond = cond | F.col("column").startswith(c + ".")
         all_blocks = blocks
         blocks = blocks.where(cond)
-    # infer the schema BEFORE stats pruning: a filter that prunes every
-    # part must still yield an empty frame with the right columns, not an
-    # unresolvable zero-column plan
-    schema = infer_schema_from_blocks(blocks)
-    if columns is not None:
-        # schema evolution (r3 ADVICE, medium): a part written before ANY
-        # projected column existed has no matching block, so it would form
-        # no decode group and its rows would silently vanish instead of
-        # null-filling (the reference NA-fills absent columns for every
-        # row group, fastparquet api.py:566-573).  Gate: one cheap eager
-        # metadata agg (column-pruned — payload never read) detects
-        # whether any part lacks every projected column; homogeneous
-        # stores (the common case) skip the sizer machinery entirely.
-        n_all, n_cov = (all_blocks
-                        .agg(F.countDistinct("part_key"),
-                             F.countDistinct(F.when(cond, F.col("part_key"))))
-                        ).collect()[0]
-        if n_cov < n_all:
+        # infer the schema BEFORE stats pruning: a filter that prunes
+        # every part must still yield an empty frame with the right
+        # columns, not an unresolvable zero-column plan.
+        # ONE metadata job (grouping sets) serves both the projected
+        # schema (per-column rows) and the schema-evolution coverage
+        # check (the grand-total row): does any part lack EVERY projected
+        # column?  Such a part would form no decode group and its rows
+        # would silently vanish instead of null-filling (r3 ADVICE; the
+        # reference NA-fills absent columns for every row group,
+        # fastparquet api.py:566-573).  Column-pruned — payload never read.
+        grows = (all_blocks
+                 .withColumn("_proj", cond)
+                 .groupingSets([[F.col("column")], []], F.col("column"))
+                 .agg(F.min(F.when(F.col("_proj"), F.col("col_idx")))
+                      .alias("col_idx"),
+                      F.collect_set(F.when(F.col("_proj"), F.col("dtype_id")))
+                      .alias("dts"),
+                      F.countDistinct("part_key").alias("n_all"),
+                      F.countDistinct(F.when(F.col("_proj"),
+                                             F.col("part_key")))
+                      .alias("n_cov"),
+                      F.grouping("column").alias("_g"))
+                 .collect())
+        schema = _schema_from_column_rows(
+            [r for r in grows if r["_g"] == 0 and r["dts"]])
+        total = next((r for r in grows if r["_g"] == 1), None)
+        if total is not None and total["n_cov"] < total["n_all"]:
             # retain one SIZER column per uncovered part — its decoded
             # length sizes the null fill; decode_group ignores
             # non-projected columns otherwise
@@ -1599,6 +1615,8 @@ def decode_blocks(blocks: DataFrame, columns: list[str] | None = None,
                             .where(F.col("column") == F.col("_sizer"))
                             .drop("_sizer"))
             blocks = blocks.unionByName(sizer_blocks)
+    else:
+        schema = infer_schema_from_blocks(blocks)
     if filters is not None:
         # resolve filter names against the flat metadata schema: exact
         # (struct-path) spelling wins; else the escaped literal-dot one
