@@ -73,3 +73,30 @@ def test_bson_gates_on_missing_package(spark):
         pass
     with pytest.raises(ImportError, match="encode_json_columns"):
         objects.encode_bson_columns(spark.range(1), ["id"])
+
+
+@pytest.mark.spark
+def test_json_object_null_rows_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    from parquet_python_spark.functions import objects
+    from parquet_python_spark.operators import pipeline as pl
+
+    src = (spark.range(100)
+           .select(F.col("id").alias("doc_id"),
+                   F.when(F.col("id") % 3 == 0,
+                          F.struct(F.col("id").alias("u"))).alias("obj"))
+           .withColumn("repo", F.lit("r"))
+           .withColumn("path", F.col("doc_id").cast("string"))
+           .withColumn("commit", F.lit("0")))
+    enc_df = objects.encode_json_columns(src, ["obj"])
+    blocks = pl.encode_table(enc_df, columns=["doc_id", "obj"]).persist()
+    out = objects.decode_json_columns(pl.decode_blocks(blocks),
+                                      {"obj": "struct<u:bigint>"})
+    got = {r["doc_id"]: r["obj"] for r in out.collect()}
+    assert len(got) == 100
+    for i in range(100):
+        if i % 3 == 0:
+            assert got[i]["u"] == i
+        else:
+            assert got[i] is None
