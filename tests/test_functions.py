@@ -526,3 +526,18 @@ def test_para_dedup_hash_shuffle_ships_sha_not_text(spark):
     assert got[1]["text_dedup"] == "alpha beta\n\ngamma"
     assert got[2]["n_kept"] == 1 and got[2]["text_dedup"] == "delta"
     assert got[2]["n_total"] == 2
+
+
+def test_mix_corpus_xxhash_twin(spark, corpus):
+    """mix_proportions production twin: same mixture targets honored
+    (within binomial tolerance), deterministic across runs."""
+    t = {"en": 0.6, "fr": 0.4}
+    out1 = sampling.mix_proportions(corpus, t, "lang", "doc_id",
+                                    hash="xxhash64").toPandas()
+    out2 = sampling.mix_proportions(corpus, t, "lang", "doc_id",
+                                    hash="xxhash64").toPandas()
+    assert sorted(out1.doc_id) == sorted(out2.doc_id)
+    by = out1.groupby("lang").size()
+    assert "zh" not in by
+    total = by.sum()
+    assert abs(by["en"] / total - 0.6) < 0.08
