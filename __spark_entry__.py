@@ -46,6 +46,32 @@ DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
 
 _DOC_BLOCKS_CACHE: dict = {}
 _LI_BLOCKS_CACHE: dict = {}
+_EMB_CACHE: dict = {}
+
+
+def _session_key(spark: SparkSession, sf_dir: str) -> tuple:
+    """Session-unique cache key (r4 ADVICE): ``id(spark)`` can be reused
+    by a NEW session after the old one is GC'd, handing out cached frames
+    bound to a dead JVM context.  applicationId is unique per SparkContext
+    lifetime.  Entries of stopped sessions are evicted eagerly — persisted
+    frames must not accumulate across bench's fresh-session loops."""
+    app = spark.sparkContext.applicationId
+    for cache in (_DOC_BLOCKS_CACHE, _LI_BLOCKS_CACHE, _EMB_CACHE):
+        for k in [k for k in cache if k[0] != app]:
+            del cache[k]
+    return (app, sf_dir)
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One persisted embeddings frame shared by the five similarity rows
+    (knn_* / near_dup) so a full queries() sweep scans the vector table
+    once instead of five times (r4 VERDICT task 1: cheapen the sweep)."""
+    key = _session_key(spark, sf_dir)
+    df = _EMB_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        _EMB_CACHE[key] = df
+    return _ensure_cached(spark, df)
 
 
 def _ensure_cached(spark: SparkSession, df: DataFrame) -> DataFrame:
@@ -72,7 +98,7 @@ def _li_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     salts every year-repo into its own mono-year parts (at default 250k
     the small year-repos bin-pack into mixed-year buckets and date
     pruning loses its layout)."""
-    key = (id(spark), sf_dir)
+    key = _session_key(spark, sf_dir)
     df = _LI_BLOCKS_CACHE.get(key)
     if df is None:
         df = pl.encode_table(_lineitem_source(spark, sf_dir),
@@ -91,7 +117,7 @@ def _doc_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # accumulate 15 separate persisted copies (r3's run died partway —
     # cost and memory growth in one).  clearCache() between bench queries
     # just re-materializes the one shared plan lazily.
-    key = (id(spark), sf_dir)
+    key = _session_key(spark, sf_dir)
     df = _DOC_BLOCKS_CACHE.get(key)
     if df is None:
         df = pl.encode_table(_doc_source(spark, sf_dir),
@@ -566,22 +592,22 @@ def q_contamination(spark, sf_dir):
 
 
 def q_knn_bruteforce(spark, sf_dir):
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _embeddings(spark, sf_dir)
     return similarity.cosine_topk(emb, _knn_queries(emb), k=5)
 
 
 def q_knn_ivf(spark, sf_dir):
     # stride=8 spreads the 8 sign bits over all 64 dims (skew-resistant
     # code); multi-probe visits the bucket + its 8 Hamming-1 neighbours
-    return similarity.cosine_topk_ivf(emb := spark.read.parquet(
-        f"{sf_dir}/embeddings.parquet"), _knn_queries(emb), k=5, bits=8,
-        stride=8, multiprobe=True)
+    emb = _embeddings(spark, sf_dir)
+    return similarity.cosine_topk_ivf(emb, _knn_queries(emb), k=5, bits=8,
+                                      stride=8, multiprobe=True)
 
 
 def q_knn_blas(spark, sf_dir):
     # BLAS-batched exact scorer (the throughput tier); ranks on round(_,3)
     # so it matches the JVM-fold oracle away from float boundaries
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _embeddings(spark, sf_dir)
     return similarity.cosine_topk_blas(emb, _knn_queries(emb), k=5)
 
 
@@ -590,14 +616,14 @@ def q_near_dup(spark, sf_dir):
     self-join, τ=0.4 on round(cos,4)): the exactness tier of the dedup
     family — no reference counterpart (fastparquet has no vector ops);
     MinHash/SimHash/LSH are the sub-quadratic tiers."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _embeddings(spark, sf_dir)
     return similarity.near_dup_pairs(emb, threshold=0.4, n_blocks=4)
 
 
 def q_knn_lsh(spark, sf_dir):
     # multi-table LSH: the recall tier (measured 0.95+ @5 even on these
     # isotropic embeddings); knn_ivf stays as the cheap single-table tier
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _embeddings(spark, sf_dir)
     return similarity.cosine_topk_lsh(emb, _knn_queries(emb), k=5, bits=8,
                                       n_tables=8, radius=2)
 
@@ -830,21 +856,68 @@ def q_overwrite_repo(spark, sf_dir):
                                 target_rows=2000)
         pl.remove_repos(spark, f"{base}/s", ["src7"])
         d = pl.decode_blocks(pl.read_blocks(spark, f"{base}/s"))
-        rows = d.select("doc_id", "source", "n_chars").collect()
-        return spark.createDataFrame(
-            [(int(r["doc_id"]), r["source"], int(r["n_chars"]))
-             for r in rows],
-            "doc_id long, source string, n_chars long")
-    finally:
+        # Materialize executor-side to a result parquet and hand back a
+        # lazy reader — row data never crosses the driver (r4 VERDICT
+        # wrong #2; the earlier collect() was a tempdir-lifetime hack).
+        d.select("doc_id", "source", "n_chars").write.mode(
+            "overwrite").parquet(f"{base}/result")
+        shutil.rmtree(f"{base}/s", ignore_errors=True)
+        import atexit
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        return spark.read.parquet(f"{base}/result")
+    except BaseException:
         shutil.rmtree(base, ignore_errors=True)
+        raise
+
+
+def _last_verified_round() -> dict:
+    """Latest round in which each query earned a GREEN driver row.
+
+    Read from the newest ``CORRECTNESS_r*.json`` files next to this module.
+    A row counts as green when it matched its oracle (rows+hash) or is the
+    by-design rows-only check (``no_oracle``).  Failed rows do NOT advance
+    the age, so a regression is re-fronted the following round.
+    """
+    import glob
+    import json
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    ages: dict = {}
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except Exception:  # noqa: BLE001 — a corrupt artifact must not break queries()
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            green = (row.get("err") == "no_oracle") or (
+                row.get("err") in (None, "") and row.get("rows_match")
+                and row.get("hash_match"))
+            if green:
+                ages[name] = max(ages.get(name, -1), rnd)
+    return ages
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDER MATTERS: the driver runs these in dict order and r3's run died
-    # partway (BrokenPipe teardown), so rows that have never had a driver
-    # verdict come FIRST — a partial run then verifies new surface before
-    # re-confirming old green rows (r3 VERDICT task 2).
-    return {
+    # ORDER MATTERS: the driver runs these in dict order with a ~50-row
+    # budget over 59 entries, so a STATIC order leaves a permanent blind
+    # spot (r4 VERDICT wrong #1: the last 9 entries never got a row two
+    # rounds running).  Order dynamically by least-recently-verified:
+    # never-green first, then oldest green round, stable on the hand
+    # order below inside each age class — every query is re-verified
+    # within ceil(59/50) = 2 rounds no matter where the sweep stops.
+    ages = _last_verified_round()
+    static = {
         "roundtrip_json": q_roundtrip_json,
         "overwrite_repo": q_overwrite_repo,
         "decode_filtered_dnf": q_decode_filtered_dnf,
@@ -905,6 +978,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_lookup": q_point_lookup,
         "roundtrip_binary": q_roundtrip_binary,
     }
+    order = sorted(range(len(static)),
+                   key=lambda i: (ages.get(list(static)[i], -1), i))
+    names = list(static)
+    return {names[i]: static[names[i]] for i in order}
 
 
 # --------------------------------------------------------------- oracles
