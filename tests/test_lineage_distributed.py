@@ -33,7 +33,7 @@ COLS = ["doc_id", "text", "lang"]
 def test_no_driver_materialization_in_commit_paths():
     """No toPandas / collect-of-parts in any lineage commit function."""
     for fn in (pl.write_blockstore, pl._commit_blocks_delta,
-               pl._swap_lineage, pl.compact_store, pl.sort_store,
+               pl._commit_manifest, pl.compact_store, pl.sort_store,
                pl.run_encode):
         src = inspect.getsource(fn)
         assert "toPandas" not in src, fn.__name__
@@ -104,26 +104,77 @@ def test_maintenance_commit_after_fold_roundtrips(spark, tmp_path):
     assert pl.verify_roundtrip(full, dec)["ok"]
 
 
-def test_swap_crash_window_rolls_forward(spark, tmp_path):
-    """A crash between the swap's two renames (old dir moved away, new
-    dir not yet in place) must roll forward on the next read: the
-    fully-written lineage.tmp (_SUCCESS present) IS the committed state."""
+def test_manifest_crash_before_pointer_put_is_invisible(spark, tmp_path,
+                                                        monkeypatch):
+    """The pointer PUT is the commit point: a crash after the manifest
+    directory is fully written but BEFORE the pointer file lands must
+    leave the store reading its previous committed state, and the next
+    successful commit must garbage-collect the orphaned manifest."""
     import os
-    import shutil
+
+    from parquet_python_spark.operators import fs as fs_mod
 
     store = str(tmp_path / "s")
     pl.run_encode(_docs(spark, 0, 300), store, columns=COLS,
                   target_rows=100, resume=False)
     before = pl.store_summary(spark, store)
-    # simulate the crash state: lineage.tmp complete, lineage gone
-    shutil.copytree(f"{store}/lineage", f"{store}/lineage.tmp")
-    shutil.move(f"{store}/lineage", f"{store}/lineage.dead")
-    assert not os.path.isdir(f"{store}/lineage")
-    spark.catalog.refreshByPath(f"{store}/lineage")
-    after = pl.store_summary(spark, store)
-    assert after == before
-    assert os.path.isdir(f"{store}/lineage")
-    assert not os.path.isdir(f"{store}/lineage.dead")
+
+    class CrashBeforePut(fs_mod.LocalFS):
+        def put_atomic(self, path, data):
+            if path.endswith(pl._LINEAGE_PTR):
+                raise RuntimeError("injected crash before pointer PUT")
+            super().put_atomic(path, data)
+
+    fs_mod.register_fs(store, CrashBeforePut())
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            pl.repair_lineage(spark, store)
+    finally:
+        fs_mod.unregister_fs(store)
+    # orphaned manifest exists but is unreferenced; reads serve old state
+    orphans = fs_mod.get_fs(store).ls_dirs(f"{store}/manifests")
+    assert len(orphans) == 1
+    assert pl.store_summary(spark, store) == before
+    # the next successful commit GCs the orphan and commits its own
+    fixed = pl.repair_lineage(spark, store)
+    assert fixed == before
+    dirs = fs_mod.get_fs(store).ls_dirs(f"{store}/manifests")
+    assert len(dirs) == 1 and dirs[0] not in orphans
+    ptr = pl._read_lineage_ptr(store)
+    assert ptr["manifest"] == os.path.basename(dirs[0])
+
+
+def test_crash_after_pointer_put_reads_new_state(spark, tmp_path):
+    """A crash AFTER the pointer PUT but before GC (superseded delta
+    files and the old manifest still on disk) must read the NEW state:
+    folded delta files are excluded by the pointer, not by deletion."""
+    from parquet_python_spark.operators import fs as fs_mod
+
+    store = str(tmp_path / "s")
+    pl.run_encode(_docs(spark, 0, 300), store, columns=COLS,
+                  target_rows=100, resume=False)
+    before = pl.store_summary(spark, store)
+
+    class CrashAfterPut(fs_mod.LocalFS):
+        def delete(self, path):
+            raise RuntimeError("injected crash during GC")
+
+        def delete_dir(self, path):
+            raise RuntimeError("injected crash during GC")
+
+    fs_mod.register_fs(store, CrashAfterPut())
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            pl.repair_lineage(spark, store)
+    finally:
+        fs_mod.unregister_fs(store)
+    # pointer landed -> new state committed; stale delta files remain on
+    # disk but are excluded by the pointer's folded list
+    assert pl._list_part_files(f"{store}/lineage")
+    assert pl._live_delta_files(store) == []
+    assert pl.store_summary(spark, store) == before
+    lin = pl.read_lineage(spark, store)
+    assert lin.groupBy("part_key").count().where("count > 1").count() == 0
 
 
 def test_repair_lineage_recovers_lost_delta(spark, tmp_path):
