@@ -1723,14 +1723,23 @@ def decode_blocks(blocks: DataFrame, columns: list[str] | None = None,
         if total is not None and total["n_cov"] < total["n_all"]:
             # retain one SIZER column per uncovered part — its decoded
             # length sizes the null fill; decode_group ignores
-            # non-projected columns otherwise
-            uncovered = (all_blocks
+            # non-projected columns otherwise.  Pick the column with the
+            # SMALLEST encoded footprint (r4 ADVICE: lexicographic min
+            # could select a wide text column and decode its whole
+            # payload just to count rows), name as the tiebreak.
+            percol = (all_blocks
+                      .groupBy("part_key", "column")
+                      .agg(F.max(cond.cast("int")).alias("_proj"),
+                           F.sum("encoded_size").alias("_bytes")))
+            uncovered = (percol
                          .groupBy("part_key")
-                         .agg(F.max(cond.cast("int")).alias("_has"),
-                              F.min(F.when(~cond, F.col("column")))
-                              .alias("_sizer"))
+                         .agg(F.max("_proj").alias("_has"),
+                              F.min(F.when(F.col("_proj") == 0, F.struct(
+                                  F.col("_bytes"), F.col("column"))))
+                              .alias("_sz"))
                          .where(F.col("_has") == 0)
-                         .select("part_key", "_sizer"))
+                         .select("part_key",
+                                 F.col("_sz.column").alias("_sizer")))
             sizer_blocks = (all_blocks
                             .join(uncovered, "part_key", "inner")
                             .where(F.col("column") == F.col("_sizer"))

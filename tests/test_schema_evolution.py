@@ -122,3 +122,32 @@ def test_projecting_only_new_column_null_fills_old_parts(spark, tmp_path):
     got = sorted(r["stars"] for r in
                  d.where(F.col("stars").isNotNull()).collect())
     assert got == [i * 2 for i in range(20)]
+
+
+def test_sizer_column_is_cheapest_by_encoded_bytes(spark, tmp_path):
+    """r4 ADVICE: the null-fill sizer for uncovered parts must be the
+    column with the smallest encoded footprint (here doc_id, a few bytes
+    of delta-packed ints), not the lexicographic minimum ('blob', a wide
+    text column whose full payload would be decoded just to count rows)."""
+    store = str(tmp_path / "s")
+    base = _base(spark).withColumn(
+        "blob", F.concat(F.lit("x"), F.sha2(F.col("text"), 512),
+                         F.sha2(F.col("path"), 512)))
+    pl.run_encode(base, store, columns=["doc_id", "blob"],
+                  target_rows=40, resume=False)
+    newer = (base.withColumn("stars", F.col("doc_id") * 2)
+             .where(F.col("doc_id") < 20))
+    pl.run_encode(newer, store, columns=["doc_id", "blob", "stars"],
+                  target_rows=40, resume=False, generation=1)
+    blocks = pl.read_blocks(spark, store)
+    d = pl.decode_blocks(blocks, columns=["stars"])
+    assert d.count() == 120
+    # reproduce the sizer choice: per-part cheapest non-projected column
+    percol = (blocks.groupBy("part_key", "column")
+              .agg(F.sum("encoded_size").alias("b")))
+    sizers = (percol.where(F.col("column") != "stars")
+              .groupBy("part_key")
+              .agg(F.min(F.struct("b", "column")).alias("sz"))
+              .select(F.col("sz.column").alias("sizer")).distinct()
+              .collect())
+    assert {r["sizer"] for r in sizers} == {"doc_id"}
