@@ -1508,6 +1508,79 @@ def oracle_sql() -> dict[str, str]:
                         i -> b.v[i] * b.v[i])))), 4) AS cos_sim
               FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id)
             SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.4""",
+        # media_features oracle (r4 VERDICT wrong #4): the fake media
+        # payloads are seeded-deterministic, so the expected features were
+        # computed by an INDEPENDENT per-row pure-Python implementation
+        # (scripts/gen_media_oracle.py regenerates this block) and embedded
+        # as a literal table — the last no_oracle data row becomes exact.
+        "media_features": """
+            SELECT media_id, n_bytes, byte_mean, feat_hash
+            FROM (VALUES
+        (0, 347, 125, -4454336900454128245),
+        (1, 773, 130, -103017285014735614),
+        (2, 938, 128, -7800835365503621533),
+        (3, 1202, 126, 2925708608135514929),
+        (4, 770, 128, 5810432697218622801),
+        (5, 355, 125, 3404371787423322830),
+        (6, 389, 126, -2361931204516165789),
+        (7, 299, 124, -2991819456334153268),
+        (8, 1056, 126, -8267309778835982936),
+        (9, 649, 127, -1407134215121647485),
+        (10, 1243, 124, 453906485541039602),
+        (11, 1030, 126, 7773318551383248611),
+        (12, 573, 125, -2286525537461705052),
+        (13, 1242, 129, -4262564722287893685),
+        (14, 631, 132, 7987271541524916751),
+        (15, 322, 132, 6986883401715354652),
+        (16, 778, 130, 8193351635810260796),
+        (17, 1063, 128, 379580352037909590),
+        (18, 434, 124, 5388403715394712311),
+        (19, 689, 126, -1485077783777520936),
+        (20, 714, 127, 8986683453617551319),
+        (21, 722, 129, 4278873526243432939),
+        (22, 778, 128, 8425598809433190580),
+        (23, 434, 125, 1166102817253484277),
+        (24, 1220, 127, -6874978795581406949),
+        (25, 1057, 124, 1788843211641284741),
+        (26, 754, 125, -7969618507501156784),
+        (27, 310, 125, -8477012781820641960),
+        (28, 918, 129, 5311240451963752687),
+        (29, 1231, 128, -8158451128923247528),
+        (30, 1231, 125, 8083194547023181222),
+        (31, 1094, 123, -7782736849331769942),
+        (32, 458, 131, 3611576626529454243),
+        (33, 935, 127, 1801584781268078782),
+        (34, 835, 129, 7279738337951459022),
+        (35, 317, 133, -3127759325423489000),
+        (36, 1006, 124, -3683153304077799771),
+        (37, 365, 131, 1988501508705266936),
+        (38, 1185, 127, -2679864097629719135),
+        (39, 315, 128, 912444980325449277),
+        (40, 990, 124, 2988294506488485189),
+        (41, 1020, 125, 2890235059617060339),
+        (42, 926, 131, 7231664914996313120),
+        (43, 985, 129, -7998342529139510306),
+        (44, 1236, 127, 1848804981254784203),
+        (45, 886, 127, -1987191098709539411),
+        (46, 768, 127, 4488438134435201375),
+        (47, 1135, 124, 6615123845479230613),
+        (48, 927, 125, 4249235983285747199),
+        (49, 1008, 128, 4222601241519774264),
+        (50, 715, 127, -5083279272856760684),
+        (51, 1234, 126, 6123465040265748840),
+        (52, 301, 122, -4399383522990402086),
+        (53, 716, 131, 8716205256876599498),
+        (54, 1102, 128, 8792282343153249401),
+        (55, 397, 125, -1098513318592334215),
+        (56, 598, 126, 2225194985222145652),
+        (57, 1237, 128, -2794720709416889508),
+        (58, 1041, 130, -5645184721062846092),
+        (59, 573, 126, -289328156602931110),
+        (60, 709, 131, -131336371408790506),
+        (61, 821, 128, -1885814870673145120),
+        (62, 976, 128, 8437957444785605268),
+        (63, 541, 125, 7613469192432115069)) AS
+            t(media_id, n_bytes, byte_mean, feat_hash)""",
     }
 
 
