@@ -807,6 +807,41 @@ def q_schema_evolution(spark, sf_dir):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_repair_lineage(spark, sf_dir):
+    """Crash recovery end-to-end (r4 VERDICT task 9): encode a store,
+    destroy its ENTIRE lineage state (delta log + manifests + pointer —
+    worse than any single crash window), ``repair_lineage`` from the
+    blocks table, and serve per-source rollups whose store_rows column
+    comes from the REPAIRED lineage — so the row is only green if
+    recovery restored exact counts."""
+    import os
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="pqs_repair_")
+    try:
+        pl.run_encode(_doc_source(spark, sf_dir), f"{base}/s",
+                      columns=["doc_id", "source", "n_chars"],
+                      target_rows=2000, resume=False)
+        shutil.rmtree(f"{base}/s/lineage", ignore_errors=True)
+        shutil.rmtree(f"{base}/s/manifests", ignore_errors=True)
+        try:
+            os.remove(f"{base}/s/{pl._LINEAGE_PTR}")
+        except FileNotFoundError:
+            pass
+        fixed = pl.repair_lineage(spark, f"{base}/s")
+        d = pl.decode_blocks(pl.read_blocks(spark, f"{base}/s"))
+        rows = (d.groupBy("source")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum("n_chars").alias("total_chars")).collect())
+        return spark.createDataFrame(
+            [(r["source"], int(r["n_docs"]), int(r["total_chars"]),
+              int(fixed["rows"])) for r in rows],
+            "source string, n_docs long, total_chars long, store_rows long")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_media_features(spark, sf_dir):
     return multimodal.extract_features(multimodal.synthetic_media(spark, 64),
                                        fake=True)
@@ -977,6 +1012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprint": q_winnow_fingerprint,
         "point_lookup": q_point_lookup,
         "roundtrip_binary": q_roundtrip_binary,
+        "repair_lineage": q_repair_lineage,
     }
     order = sorted(range(len(static)),
                    key=lambda i: (ages.get(list(static)[i], -1), i))
@@ -1508,6 +1544,11 @@ def oracle_sql() -> dict[str, str]:
                         i -> b.v[i] * b.v[i])))), 4) AS cos_sim
               FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id)
             SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.4""",
+        "repair_lineage": """
+            SELECT source, count(*) AS n_docs,
+                   sum(n_chars) AS total_chars,
+                   (SELECT count(*) FROM documents) AS store_rows
+            FROM documents GROUP BY source""",
         # media_features oracle (r4 VERDICT wrong #4): the fake media
         # payloads are seeded-deterministic, so the expected features were
         # computed by an INDEPENDENT per-row pure-Python implementation
