@@ -207,3 +207,91 @@ def test_repair_lineage_recovers_lost_delta(spark, tmp_path):
     assert fixed["rows"] == true_rows
     lin = pl.read_lineage(spark, store)
     assert lin.groupBy("part_key").count().where("count > 1").count() == 0
+
+
+def test_lineage_depth_stress_micro_commits(spark, tmp_path, monkeypatch):
+    """Scale-shaped protocol stress (r4 VERDICT task 4): thousands of
+    parts across 200 micro-commits of synthetic lineage deltas, driven
+    through the REAL append + fold + pointer-commit code paths, with
+    crashes injected on both sides of the commit point mid-sequence.
+
+    Invariants at every step: (a) the live (unfolded) delta-log file
+    count stays bounded by LINEAGE_FOLD_FILES + the batch just written;
+    (b) the combined read equals an independently-maintained model of
+    the store (so combine-on-read == fold-then-read == ground truth);
+    (c) an injected crash before the pointer PUT leaves the previous
+    state readable, after the PUT the new state — at ANY commit index.
+
+    Deltas are synthesized (the protocol under test is the metadata
+    commit layer; encoding real blocks 200x would test the encoder's
+    speed, not the log) and written through the same parquet-append +
+    ``_commit_manifest`` calls ``write_blockstore`` makes.
+    """
+    from collections import defaultdict
+
+    from parquet_python_spark.operators import fs as fs_mod
+
+    monkeypatch.setattr(pl, "LINEAGE_FOLD_FILES", 8)
+    store = str(tmp_path / "s")
+    ldir = f"{store}/lineage"
+    n_commits, parts_per_commit = 200, 50
+
+    model = defaultdict(lambda: [0, 0, 0])  # part_key -> [n_rows, enc, hash]
+
+    def delta_frame(k):
+        rows = []
+        for j in range(parts_per_commit):
+            # 60% appends revisit an existing part (the combine path),
+            # deterministic pseudo-randomness from (k, j)
+            pk = ((k * 13 + j * 7) % 5000) if (k + j) % 5 < 3 else (
+                k * parts_per_commit + j + 100_000)
+            nr, eb = 10 + (k + j) % 90, 1000 + (k * j) % 5000
+            rh = ((k + 1) * 2654435761 ^ (j + 1) * 40503) % (1 << 63)
+            model[pk][0] += nr
+            model[pk][1] += eb
+            model[pk][2] ^= rh
+            rows.append((pk, str(pk % 20), 0, 1, 2, eb * 8, eb, 1,
+                         rh, ["plain"], nr, "complete"))
+        return spark.createDataFrame(rows, schema=(
+            "part_key long, repo string, split_id int, n_pages long, "
+            "n_blocks long, raw_bytes long, enc_bytes long, encode_ms "
+            "long, row_hash long, codecs array<string>, n_rows long, "
+            "status string"))
+
+    class CrashBeforePut(fs_mod.LocalFS):
+        def put_atomic(self, path, data):
+            raise RuntimeError("crash before PUT")
+
+    class CrashDuringGC(fs_mod.LocalFS):
+        def delete(self, path):
+            raise RuntimeError("crash during GC")
+
+    def check_model():
+        got = {r["part_key"]: (r["n_rows"], r["enc_bytes"], r["row_hash"])
+               for r in pl.read_lineage(spark, store).collect()}
+        assert len(got) == len(model)
+        for pk, (nr, eb, rh) in model.items():
+            assert got[pk] == (nr, eb, rh), f"part {pk} diverged"
+
+    crash_at = {57: CrashBeforePut, 121: CrashDuringGC}
+    for k in range(n_commits):
+        delta_frame(k).coalesce(1).write.mode("append").option(
+            "compression", "none").parquet(ldir)
+        spark.catalog.refreshByPath(ldir)
+        if len(pl._live_delta_files(store)) > pl.LINEAGE_FOLD_FILES:
+            if k in crash_at:
+                fs_mod.register_fs(store, crash_at[k]())
+                try:
+                    with pytest.raises(RuntimeError, match="crash"):
+                        pl._commit_manifest(spark, store,
+                                            pl.read_lineage(spark, store))
+                finally:
+                    fs_mod.unregister_fs(store)
+                check_model()  # crash on either side never loses state
+            pl._commit_manifest(spark, store, pl.read_lineage(spark, store))
+        live = len(pl._live_delta_files(store))
+        assert live <= pl.LINEAGE_FOLD_FILES + 1, f"commit {k}: {live} live"
+        if k % 20 == 19:
+            check_model()
+    check_model()
+    assert len(model) > 5_000  # genuinely deep: >5k distinct parts
