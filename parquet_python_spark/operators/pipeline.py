@@ -838,7 +838,8 @@ def _commit_manifest(spark: SparkSession, path: str, lin: DataFrame) -> None:
     spark.catalog.refreshByPath(mdir)
 
 
-def write_blockstore(blocks: DataFrame, path: str, mode: str = "append"):
+def write_blockstore(blocks: DataFrame, path: str, mode: str = "append",
+                     summarize: bool = True):
     """Persist blocks + derived lineage (the `_metadata` analogue).
 
     Lineage is computed incrementally from the files this call just wrote —
@@ -877,7 +878,7 @@ def write_blockstore(blocks: DataFrame, path: str, mode: str = "append"):
         spark.catalog.refreshByPath(ldir)
         if len(_live_delta_files(path)) > LINEAGE_FOLD_FILES:
             _commit_manifest(spark, path, read_lineage(spark, path))
-    return store_summary(spark, path)
+    return store_summary(spark, path) if summarize else {}
 
 
 def repair_lineage(spark: SparkSession, path: str) -> dict:
@@ -1094,7 +1095,8 @@ def run_encode(df: DataFrame, path: str,
                resume: bool = True,
                generation: int | None = None,
                strategy: str = "local",
-               encode_tasks: int | None = None) -> dict:
+               encode_tasks: int | None = None,
+               summarize: bool = True) -> dict:
     """End-to-end encode run: plan → (resume anti-join) → encode → store.
 
     ``resume=True`` with ``generation=None`` is valid only when re-running
@@ -1153,17 +1155,20 @@ def run_encode(df: DataFrame, path: str,
     if encode_tasks is not None and strategy == "local":
         assigned = assigned.coalesce(int(encode_tasks))
     blocks = encode(assigned, columns, target_rows, page_bytes, compression)
-    summary = write_blockstore(blocks, path, mode="append")
-    if summary is None:  # nothing new (fully-resumed run): summarize store
+    summary = write_blockstore(blocks, path, mode="append",
+                               summarize=summarize)
+    if summary is None and summarize:
+        # nothing new (fully-resumed run): summarize the existing store
         summary = store_summary(spark, path)
-    return summary
+    return summary or {}
 
 
 def overwrite_partitions(df: DataFrame, path: str,
                          columns: list[str] | None = None,
                          target_rows: int = part.DEFAULT_TARGET_ROWS,
                          page_bytes: int = DEFAULT_PAGE_BYTES,
-                         compression: str = "UNCOMPRESSED") -> dict:
+                         compression: str = "UNCOMPRESSED",
+                         summarize: bool = True) -> dict:
     """Replace every repo present in ``df`` with the given rows — the
     reference's partition-overwrite semantics (fastparquet ``overwrite`` /
     ``remove_row_groups``, writer.py:1497-1601, api.py:415-574) on the
@@ -1201,7 +1206,8 @@ def overwrite_partitions(df: DataFrame, path: str,
     cols = columns or [c for c in union.columns if c not in _HELPER_COLS]
     new_blocks = encode_table(part.assign_part_keys(union, plan), cols,
                               target_rows, page_bytes, compression)
-    return _commit_blocks_delta(spark, path, aff_keys, new_blocks)
+    return _commit_blocks_delta(spark, path, aff_keys, new_blocks,
+                                summarize=summarize)
 
 
 def _uri_to_local(uri: str) -> str:
@@ -1211,7 +1217,8 @@ def _uri_to_local(uri: str) -> str:
 def _commit_blocks_delta(spark: SparkSession, path: str,
                          affected_keys: DataFrame,
                          new_blocks: DataFrame | None = None,
-                         affected_is_all: bool = False) -> dict:
+                         affected_is_all: bool = False,
+                         summarize: bool = True) -> dict:
     """File-granular maintenance commit: O(affected + new), never O(store).
 
     ``affected_keys`` (a one-column ``part_key`` frame) names the parts
@@ -1290,6 +1297,8 @@ def _commit_blocks_delta(spark: SparkSession, path: str,
                               "left_semi"))
             kept_lin = kept_lin.unionByName(lineage_from_blocks(replaced))
     _commit_manifest(spark, path, kept_lin)
+    if not summarize:
+        return {}
     s = store_summary(spark, path)
     return {"parts": s["parts"], "rows": s["rows"]}
 
@@ -1307,7 +1316,8 @@ def remove_parts(spark: SparkSession, path: str,
 def remove_repos(spark: SparkSession, path: str, repos: list[str],
                  target_rows: int = part.DEFAULT_TARGET_ROWS,
                  page_bytes: int = DEFAULT_PAGE_BYTES,
-                 compression: str = "UNCOMPRESSED") -> dict:
+                 compression: str = "UNCOMPRESSED",
+                 summarize: bool = True) -> dict:
     """Drop every row of the given repos.  Mono-repo parts are dropped
     without decoding; packed buckets shared with other repos are decoded,
     filtered and re-encoded under their original part_key (requires the
@@ -1346,7 +1356,8 @@ def remove_repos(spark: SparkSession, path: str, repos: list[str],
         cols = [c for c in retained.columns if c not in _HELPER_COLS]
         new_blocks = encode_table(retained, cols, target_rows, page_bytes,
                                   compression)
-    return _commit_blocks_delta(spark, path, aff_keys, new_blocks)
+    return _commit_blocks_delta(spark, path, aff_keys, new_blocks,
+                                summarize=summarize)
 
 
 def recode_blocks(blocks: DataFrame, page_bytes: int = DEFAULT_PAGE_BYTES,
