@@ -135,3 +135,84 @@ def test_pointer_commit_uses_single_object_put(spark, no_rename_store):
                   target_rows=50, resume=False)
     pl.repair_lineage(spark, store)
     assert puts and all(p.endswith(pl._LINEAGE_PTR) for p in puts)
+
+
+class _FakeFsspec:
+    """Duck-typed fsspec filesystem (dict-backed): exercises the FsspecFS
+    adapter mapping without the optional package."""
+
+    def __init__(self):
+        self.objs = {}
+
+    def ls(self, path, detail=False):
+        path = path.rstrip("/")
+        out, dirs = [], set()
+        for k in self.objs:
+            if k.startswith(path + "/"):
+                rest = k[len(path) + 1:]
+                if "/" in rest:
+                    dirs.add(path + "/" + rest.split("/", 1)[0])
+                else:
+                    out.append({"name": k, "type": "file"})
+        out += [{"name": d, "type": "directory"} for d in sorted(dirs)]
+        if not out and path not in self.objs:
+            raise FileNotFoundError(path)
+        return out
+
+    def exists(self, path):
+        p = path.rstrip("/")
+        return p in self.objs or any(k.startswith(p + "/") for k in self.objs)
+
+    def cat_file(self, path):
+        return self.objs[path]
+
+    def pipe_file(self, path, data):
+        self.objs[path] = data
+
+    def rm_file(self, path):
+        if path not in self.objs:
+            raise FileNotFoundError(path)
+        del self.objs[path]
+
+    def rm(self, path, recursive=False):
+        p = path.rstrip("/")
+        hits = [k for k in self.objs if k == p or k.startswith(p + "/")]
+        if not hits:
+            raise FileNotFoundError(path)
+        for k in hits:
+            del self.objs[k]
+
+
+def test_fsspec_adapter_contract():
+    fake = _FakeFsspec()
+    fs = fs_mod.FsspecFS(fs=fake)
+    fs.put_atomic("bkt/store/lineage_ptr.json", b'{"epoch": 1}')
+    fs.put_atomic("bkt/store/lineage/part-0001", b"x")
+    fs.put_atomic("bkt/store/manifests/m-1/part-0000", b"y")
+    assert fs.exists("bkt/store/lineage_ptr.json")
+    assert fs.read_bytes("bkt/store/lineage_ptr.json") == b'{"epoch": 1}'
+    assert fs.ls("bkt/store/lineage") == ["bkt/store/lineage/part-0001"]
+    assert fs.ls_dirs("bkt/store/manifests") == ["bkt/store/manifests/m-1"]
+    assert fs.ls("bkt/store/nope") == []         # missing dir -> empty
+    fs.put_atomic("bkt/store/lineage_ptr.json", b'{"epoch": 2}')  # replace
+    assert fs.read_bytes("bkt/store/lineage_ptr.json") == b'{"epoch": 2}'
+    fs.delete("bkt/store/lineage/part-0001")
+    fs.delete("bkt/store/lineage/part-0001")     # idempotent
+    assert fs.ls("bkt/store/lineage") == []
+    fs.delete_dir("bkt/store/manifests/m-1")
+    fs.delete_dir("bkt/store/manifests/m-1")     # idempotent
+    assert fs.ls_dirs("bkt/store/manifests") == []
+
+
+def test_get_fs_longest_prefix_routing(tmp_path):
+    a, b = fs_mod.FsspecFS(fs=_FakeFsspec()), fs_mod.FsspecFS(fs=_FakeFsspec())
+    fs_mod.register_fs("/bkt", a)
+    fs_mod.register_fs("/bkt/deep", b)
+    try:
+        assert fs_mod.get_fs("/bkt/x") is a
+        assert fs_mod.get_fs("/bkt/deep/x") is b
+        assert fs_mod.get_fs("file:///bkt/deep/x") is b  # URI stripped
+        assert isinstance(fs_mod.get_fs(str(tmp_path)), fs_mod.LocalFS)
+    finally:
+        fs_mod.unregister_fs("/bkt")
+        fs_mod.unregister_fs("/bkt/deep")
