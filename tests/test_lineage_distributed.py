@@ -210,8 +210,8 @@ def test_repair_lineage_recovers_lost_delta(spark, tmp_path):
 
 
 def test_lineage_depth_stress_micro_commits(spark, tmp_path, monkeypatch):
-    """Scale-shaped protocol stress (r4 VERDICT task 4): thousands of
-    parts across 200 micro-commits of synthetic lineage deltas, driven
+    """Scale-shaped protocol stress (r4 VERDICT task 4): 10^4 parts
+    across 100 micro-commits of synthetic lineage deltas, driven
     through the REAL append + fold + pointer-commit code paths, with
     crashes injected on both sides of the commit point mid-sequence.
 
@@ -234,7 +234,7 @@ def test_lineage_depth_stress_micro_commits(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(pl, "LINEAGE_FOLD_FILES", 8)
     store = str(tmp_path / "s")
     ldir = f"{store}/lineage"
-    n_commits, parts_per_commit = 200, 50
+    n_commits, parts_per_commit = 100, 100
 
     model = defaultdict(lambda: [0, 0, 0])  # part_key -> [n_rows, enc, hash]
 
@@ -273,25 +273,31 @@ def test_lineage_depth_stress_micro_commits(spark, tmp_path, monkeypatch):
         for pk, (nr, eb, rh) in model.items():
             assert got[pk] == (nr, eb, rh), f"part {pk} diverged"
 
-    crash_at = {57: CrashBeforePut, 121: CrashDuringGC}
+    # inject a crash at the FIRST fold after each threshold commit index
+    # (folds are where the commit point lives); both sides of the PUT
+    crash_plan = [(30, CrashBeforePut), (65, CrashDuringGC)]
+    crashes_fired = 0
     for k in range(n_commits):
         delta_frame(k).coalesce(1).write.mode("append").option(
             "compression", "none").parquet(ldir)
         spark.catalog.refreshByPath(ldir)
         if len(pl._live_delta_files(store)) > pl.LINEAGE_FOLD_FILES:
-            if k in crash_at:
-                fs_mod.register_fs(store, crash_at[k]())
+            if crash_plan and k >= crash_plan[0][0]:
+                _, fs_cls = crash_plan.pop(0)
+                fs_mod.register_fs(store, fs_cls())
                 try:
                     with pytest.raises(RuntimeError, match="crash"):
                         pl._commit_manifest(spark, store,
                                             pl.read_lineage(spark, store))
                 finally:
                     fs_mod.unregister_fs(store)
+                crashes_fired += 1
                 check_model()  # crash on either side never loses state
             pl._commit_manifest(spark, store, pl.read_lineage(spark, store))
         live = len(pl._live_delta_files(store))
         assert live <= pl.LINEAGE_FOLD_FILES + 1, f"commit {k}: {live} live"
-        if k % 20 == 19:
+        if k % 33 == 32:
             check_model()
+    assert crashes_fired == 2
     check_model()
     assert len(model) > 5_000  # genuinely deep: >5k distinct parts
