@@ -823,6 +823,19 @@ def _commit_manifest(spark: SparkSession, path: str, lin: DataFrame) -> None:
         "compression", "none").parquet(mdir)
     if not fs.exists(f"{mdir}/_SUCCESS"):
         raise IOError(f"manifest write did not commit: {mdir}")
+    # optimistic single-writer fence: maintenance is single-writer by
+    # protocol (like the reference's _metadata rewrites); if another
+    # committer advanced the pointer while our manifest was being
+    # written, a blind PUT would silently DROP their commit — fail loudly
+    # instead (production object stores can close the remaining window
+    # with a conditional PUT / If-Match on the pointer object)
+    ptr_now = _read_lineage_ptr(path)
+    if (ptr_now or {}).get("epoch") != (ptr_old or {}).get("epoch"):
+        fs.delete_dir(mdir)
+        raise RuntimeError(
+            f"concurrent lineage commit detected on {path}: pointer epoch "
+            f"moved {(ptr_old or {}).get('epoch')} -> "
+            f"{(ptr_now or {}).get('epoch')} during the manifest write")
     fs.put_atomic(f"{path}/{_LINEAGE_PTR}", json.dumps(
         {"epoch": epoch, "manifest": mname, "folded": folded},
         sort_keys=True).encode("utf-8"))

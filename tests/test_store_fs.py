@@ -216,3 +216,40 @@ def test_get_fs_longest_prefix_routing(tmp_path):
     finally:
         fs_mod.unregister_fs("/bkt")
         fs_mod.unregister_fs("/bkt/deep")
+
+
+def test_concurrent_commit_fence(spark, tmp_path):
+    """A pointer that moves while a manifest is being written must fail
+    the in-flight commit loudly (silent last-writer-wins would drop the
+    other committer's lineage) and leave the interloper's state intact."""
+    import json
+
+    store = str(tmp_path / "s")
+    pl.run_encode(_docs(spark, 0, 200), store, columns=["doc_id", "text"],
+                  target_rows=60, resume=False)
+    pl.repair_lineage(spark, store)  # install a pointer (epoch 1)
+    before = pl.store_summary(spark, store)
+
+    class InterloperFS(fs_mod.LocalFS):
+        """Advances the pointer underneath the committer the moment it
+        checks the manifest _SUCCESS marker."""
+
+        def exists(self, path):
+            ok = super().exists(path)
+            if ok and path.endswith("/_SUCCESS"):
+                ptr = pl._read_lineage_ptr(store)
+                ptr["epoch"] += 1
+                super().put_atomic(f"{store}/{pl._LINEAGE_PTR}",
+                                   json.dumps(ptr).encode())
+            return ok
+
+    fs_mod.register_fs(store, InterloperFS())
+    try:
+        with pytest.raises(RuntimeError, match="concurrent lineage commit"):
+            pl.repair_lineage(spark, store)
+    finally:
+        fs_mod.unregister_fs(store)
+    # the interloper's pointer survives; the failed commit's manifest dir
+    # was cleaned up; the store still reads consistently
+    assert pl._read_lineage_ptr(store)["epoch"] == 2
+    assert pl.store_summary(spark, store) == before
