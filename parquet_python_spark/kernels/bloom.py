@@ -20,17 +20,27 @@ module is our equivalent over blockstore metadata rows:
   per-block data, so pruning scales with metadata rows, not store bytes.
 
 Hash: double hashing h(i) = h1 + i*h2 (Kirsch-Mitzenmacher) over two
-salted crc32s of the value's canonical bytes.  crc32 runs at C speed per
-distinct value and is identical on both sides by construction.  False
-positives only cost a wasted decode (the exact re-filter still runs);
-false negatives are impossible because every non-null value's bits are
-set from the same canonical bytes the probe uses.
+independent 32-bit streams of the value's canonical rendering —
+vectorized over the whole distinct set (r5; the previous per-value
+crc32 loop was ~30% of total encode CPU at page granularity):
+
+* integer-view values hash NUMERICALLY with splitmix64 on the int64
+  (one numpy pass, no byte rendering at all);
+* strings/binary hash with pandas' C siphash (``pd.util.hash_array``,
+  two fixed 16-byte keys = two streams; one C pass over the array).
+
+Both streams are masked to 32 bits so the JVM-side probe's constant
+``h1 + i*h2`` stays comfortably inside a Catalyst long.  The stream
+definitions are a FORMAT CONSTANT: build (executor) and probe (driver
+literal hashing) must move together, and stores persist their filters.
+False positives only cost a wasted decode (the exact re-filter still
+runs); false negatives are impossible because every non-null value's
+bits are set from the same canonical rendering the probe uses.
 """
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 K = 4                    # probes per value
@@ -42,36 +52,53 @@ MAX_BITS = 1 << 21       # 256 KiB cap; beyond it fpp makes pruning useless
 # and crc32-scanning them was 26% of total encode CPU (profiled r3) —
 # id-like columns (paths, commits, shas, keys) stay well under the cap
 MAX_AVG_LEN = 256
-_SALT2 = b"\x9e\x37\x79\xb9"  # second hash stream
+# format constants: the two independent hash streams (see module docstring)
+_HK1 = "5f4dcc3b5aa765d6"        # siphash key, stream 1 (strings/binary)
+_HK2 = "61d8c32f0a9b4e17"        # siphash key, stream 2
+_INT_SALT = np.uint64(0xA5A5A5A5A5A5A5A5)  # stream-2 pre-xor (integers)
+_M32 = np.uint64(0xFFFFFFFF)
 
 
 def _next_pow2(n: int) -> int:
     return 1 << max(int(n) - 1, 1).bit_length()
 
 
-def value_bytes(v, is_string: bool) -> bytes | None:
-    """Canonical bytes of one value: utf-8 for strings/binary, 8-byte
-    little-endian two's-complement for integer-view dtypes (ints,
-    timestamps-as-µs, dates-as-days).  None = not hashable under this
-    rendering (the caller keeps the block)."""
-    if v is None:
-        return None
-    if is_string:
-        if isinstance(v, bytes):
-            return v
-        if isinstance(v, str):
-            return v.encode("utf-8")
-        return None
-    try:
-        return int(v).to_bytes(8, "little", signed=True)
-    except (TypeError, ValueError, OverflowError):
-        return None
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Fenwick/Steele splitmix64 finalizer — uint64 in/out, vectorized."""
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
 
 
-def hash_pair(b: bytes) -> tuple[int, int]:
-    """(h1, h2) for double hashing; h2 forced odd so the probe sequence
-    visits K distinct positions in a power-of-two table."""
-    return zlib.crc32(b), zlib.crc32(_SALT2 + b) | 1
+def _pairs_int(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(h1, h2) streams for an int64 array (h2 forced odd so the probe
+    sequence visits K distinct positions in a power-of-two table)."""
+    u = x.astype(np.int64, copy=False).view(np.uint64)
+    h1 = _splitmix64(u) & _M32
+    h2 = (_splitmix64(u ^ _INT_SALT) & _M32) | np.uint64(1)
+    return h1, h2
+
+
+def _pairs_bytes(obj: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(h1, h2) streams for an object array of bytes/str — one C siphash
+    pass per stream, no per-value Python."""
+    h1 = pd.util.hash_array(obj, hash_key=_HK1, categorize=False) & _M32
+    h2 = (pd.util.hash_array(obj, hash_key=_HK2, categorize=False)
+          & _M32) | np.uint64(1)
+    return h1, h2
+
+
+def hash_pair_int(x: int) -> tuple[int, int]:
+    """Driver-side single-value probe hash, integer rendering."""
+    h1, h2 = _pairs_int(np.array([x], dtype=np.int64))
+    return int(h1[0]), int(h2[0])
+
+
+def hash_pair_bytes(b: bytes) -> tuple[int, int]:
+    """Driver-side single-value probe hash, string/binary rendering."""
+    h1, h2 = _pairs_bytes(np.array([b], dtype=object))
+    return int(h1[0]), int(h2[0])
 
 
 def build(arr: pa.Array, is_string: bool) -> list[int] | None:
@@ -89,24 +116,19 @@ def build(arr: pa.Array, is_string: bool) -> list[int] | None:
         return None
     if is_string and uniq.nbytes > MAX_AVG_LEN * n_distinct:
         return None
-    if is_string:
-        try:
-            items = uniq.cast(pa.large_binary()).to_pylist()
-        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
-            return None
-    else:
-        # integer view: timestamps/dates hash their raw int64 units
-        try:
-            items = uniq.cast(pa.int64()).to_pylist()
-        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
-            return None
-        items = [int(x).to_bytes(8, "little", signed=True) for x in items]
+    try:
+        if is_string:
+            obj = uniq.cast(pa.large_binary()).to_numpy(
+                zero_copy_only=False)
+            h1, h2 = _pairs_bytes(obj)
+        else:
+            # integer view: timestamps/dates hash their raw int64 units
+            ints = uniq.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            h1, h2 = _pairs_int(np.asarray(ints, dtype=np.int64))
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+        return None
     m = min(max(_next_pow2(n_distinct * BITS_PER_DISTINCT), MIN_BITS),
             MAX_BITS)
-    h1 = np.fromiter((zlib.crc32(b) for b in items),
-                     dtype=np.uint64, count=len(items))
-    h2 = np.fromiter((zlib.crc32(_SALT2 + b) for b in items),
-                     dtype=np.uint64, count=len(items)) | np.uint64(1)
     ks = np.arange(K, dtype=np.uint64)[None, :]
     pos = (h1[:, None] + ks * h2[:, None]) & np.uint64(m - 1)
     words = np.zeros(m // 64, dtype=np.uint64)
@@ -115,11 +137,13 @@ def build(arr: pa.Array, is_string: bool) -> list[int] | None:
     return words.view(np.int64).tolist()
 
 
-def maybe_contains(words: list[int], b: bytes) -> bool:
+def maybe_contains(words: list[int], v: bytes | int) -> bool:
     """Local probe (tests / driver-side checks); the production probe is
-    the Catalyst expression in ``operators.pipeline._bloom_pred``."""
+    the Catalyst expression in ``operators.pipeline._bloom_pred``.
+    Pass bytes for the string rendering, an int for the integer one."""
     m = len(words) * 64
-    h1, h2 = hash_pair(b)
+    h1, h2 = (hash_pair_int(v) if isinstance(v, int)
+              else hash_pair_bytes(v))
     w = np.asarray(words, dtype=np.int64).view(np.uint64)
     for i in range(K):
         p = (h1 + i * h2) & (m - 1)

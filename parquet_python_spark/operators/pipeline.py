@@ -1911,7 +1911,7 @@ def _num_lit_expr(lits: dict):
 
 
 def _bloom_item_hashes(v) -> dict:
-    """(h1, h2) crc32 pairs per canonical rendering of one equality
+    """(h1, h2) stream pairs per canonical rendering of one equality
     literal, keyed like ``_prune_literals``: ``str`` (utf-8 / raw bytes),
     ``int`` (plain integer view), ``ts`` (µs since epoch), ``days``.  A
     None rendering keeps blocks of that dtype (can't refute)."""
@@ -1921,12 +1921,15 @@ def _bloom_item_hashes(v) -> dict:
 
     def _ival(x):
         try:
-            return bloom.hash_pair(int(x).to_bytes(8, "little", signed=True))
-        except (OverflowError, TypeError, ValueError):
+            i = int(x)
+        except (TypeError, ValueError):
             return None
+        if not -(1 << 63) <= i < (1 << 63):  # outside the int64 rendering
+            return None
+        return bloom.hash_pair_int(i)
 
     if isinstance(v, (str, bytes)):
-        out["str"] = bloom.hash_pair(
+        out["str"] = bloom.hash_pair_bytes(
             v.encode("utf-8") if isinstance(v, str) else v)
         try:
             t = pd.Timestamp(v)

@@ -29,8 +29,7 @@ def test_bloom_no_false_negatives_ints(rng):
     vals = rng.integers(-(1 << 62), 1 << 62, size=4000).tolist() + [0, -1]
     words = bloom.build(pa.array(vals, type=pa.int64()), False)
     for v in vals:
-        assert bloom.maybe_contains(
-            words, int(v).to_bytes(8, "little", signed=True)), v
+        assert bloom.maybe_contains(words, int(v)), v
 
 
 def test_bloom_false_positive_rate(rng):
