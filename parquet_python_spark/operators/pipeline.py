@@ -861,7 +861,8 @@ def write_blockstore(blocks: DataFrame, path: str, mode: str = "append",
     itself is a DELTA LOG: each commit appends only the new parts' rollups
     (a distributed write, nothing driver-side), ``read_lineage`` applies
     the associative COMBINE on read, and the log is folded back to one row
-    per part by a distributed rewrite + directory swap once it fragments
+    per part by a distributed rewrite + pointer commit (_commit_manifest)
+    once it fragments
     past ``LINEAGE_FOLD_FILES`` — so a micro-batch append to a 10^8-part
     store writes O(batch) lineage rows, not O(store).  The blocks table is
     the ground truth for resume (see ``completed_part_keys``): a failure
