@@ -107,6 +107,13 @@ def build(arr: pa.Array, is_string: bool) -> list[int] | None:
     vals = arr.drop_null()
     if len(vals) == 0:
         return None
+    # cheap pre-gate BEFORE unique: a page whose RAW average length already
+    # busts the cap is a long-text page (document bodies), and unique()
+    # itself hashes every byte — profiled at ~15% of total encode CPU spent
+    # uniquing pages the distinct-length gate below then rejected anyway.
+    # Kept conservative (4x) so mixed pages still reach the exact gate.
+    if is_string and vals.nbytes > 4 * MAX_AVG_LEN * len(vals):
+        return None
     try:
         uniq = pa.compute.unique(vals)
     except pa.ArrowNotImplementedError:
