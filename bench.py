@@ -221,14 +221,22 @@ def bench_queries(spark, names) -> dict:
     (spark.range(par * 4).repartition(par)
      .mapInPandas(lambda it: it, "id long").count())
     out = {}
+    reps = max(int(os.environ.get("BENCH_QUERY_REPS", "2")), 1)
     for name in names:
-        # isolation: queries persist intermediates (q1 blocks, shingle edge
-        # lists); leaving them cached distorts every later query's memory
-        # budget and GC profile
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        n = qs[name](spark, SF_DIR).count()
-        out[name] = round(time.perf_counter() - t0, 2)
+        # min-of-reps, same stance as bench_encode: host steal on this VM
+        # varies identical runs 3-10x, and a one-shot per query makes the
+        # whole headline hostage to a single spike.  Cache is cleared
+        # BEFORE EVERY rep, so each rep re-materializes its own
+        # intermediates exactly like the old one-shot did — the min is a
+        # quieter sample of identical work, not a warmed fast path.
+        best, n = None, 0
+        for _ in range(reps):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            n = qs[name](spark, SF_DIR).count()
+            w = time.perf_counter() - t0
+            best = w if best is None else min(best, w)
+        out[name] = round(best, 2)
         print(f"# {name}: {out[name]}s ({n} rows)", file=sys.stderr)
     spark.catalog.clearCache()
     return out
