@@ -52,7 +52,13 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
                 ))
             yield pd.DataFrame(rows)
 
-    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
+    # bound the partition count to the row count: spark.range defaults to
+    # defaultParallelism partitions, and for a small fixture table that
+    # spins up a full python-worker set per mapInPandas stage for ~2 rows
+    # each (measured ~10 s of pure worker dispatch on the 64-row driver
+    # row); a real media table passes a larger n and keeps parallelism
+    parts = max(1, min(spark.sparkContext.defaultParallelism, n // 16))
+    return spark.range(n, numPartitions=parts).mapInPandas(gen, MEDIA_SCHEMA)
 
 
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
