@@ -45,6 +45,15 @@ MAX_MERGED = 224        # merged-symbol budget; the remaining ~31 codes go to
 N_CODES = 255           # codes 0..254 are table symbols; 255 = escape
 ESCAPE = 255
 ROUNDS = 3              # symbol length up to 2**ROUNDS = 8 bytes
+# Per-round merge budgets (unused budget carries forward).  A single
+# shared budget let round 0 spend all 224 symbols on 2-byte pairs on
+# text-like input, leaving rounds 1-2 as identity — the table never
+# contained a symbol longer than 2 bytes.  Reserving budget for later
+# rounds builds the 3-8 byte symbols where most of FSST's win lives:
+# measured ratio 0.313 -> 0.234 on prose pages and 0.553 -> 0.459 on
+# synthetic code content, at ~10-15% single-thread encode cost (later
+# rounds run on already-shrunk streams).
+ROUND_BUDGETS = (96, 96, 32)
 SAMPLE_BYTES = 4 << 20  # table is built from at most 4 MiB of sample.
 # Sized so a standard page's per-column text share falls WITHIN the
 # sample: _build_table's merged output is then reused directly and the
@@ -165,9 +174,12 @@ def _build_table(sample: np.ndarray):
     exp_len = np.ones(512, dtype=np.int64)
     stream = sample
     next_id = BASE
-    for _ in range(ROUNDS):
+    carry = 0  # unused per-round budget rolls into the next round
+    for rnd in range(ROUNDS):
+        round_cap = ROUND_BUDGETS[rnd] + carry
         if next_id - BASE >= MAX_MERGED or len(stream) < 2:
             luts.append(np.full(512 * 512, 0xFFFF, dtype=np.uint16))
+            carry = round_cap
             continue
         keys = stream[:-1].astype(np.uint32) * 512 + stream[1:]
         # Count ALL pairs, then zero the sentinel-involving rows/columns of
@@ -176,7 +188,7 @@ def _build_table(sample: np.ndarray):
         counts = np.bincount(keys, minlength=512 * 512)
         counts[SENTINEL * 512:(SENTINEL + 1) * 512] = 0
         counts[SENTINEL::512] = 0
-        budget = MAX_MERGED - (next_id - BASE)
+        budget = min(round_cap, MAX_MERGED - (next_id - BASE))
         # A merge saves (count - overhead) bytes; require a real win.
         # Only pairs clearing the count-16 floor can be picked, and on
         # small blocks they are FAR fewer than the 512² table — sorting
@@ -184,6 +196,7 @@ def _build_table(sample: np.ndarray):
         nz = np.flatnonzero(counts >= 16)
         if len(nz) == 0:
             luts.append(np.full(512 * 512, 0xFFFF, dtype=np.uint16))
+            carry = round_cap
             continue
         order = nz[np.argsort(counts[nz])[::-1]]
         top = order[:budget * 2]
@@ -206,6 +219,7 @@ def _build_table(sample: np.ndarray):
                 exp_len[next_id] = len(ex) + len(ey)
                 next_id += 1
         luts.append(lut)
+        carry = round_cap - made
         if made == 0:
             continue
         # reuse the pair keys already materialized for counting
