@@ -50,3 +50,23 @@ def test_model_sanity():
     assert 18 < plain < 80
     d = ref.reference_dict_size(arr)
     assert d > 0
+
+
+def test_fsst_round_budget_ratios():
+    """Pin the per-round-budget win (r5): prose text must stay well under
+    the single-budget era's 0.31, and the code table's content column
+    (linedict with an FSST-able line dictionary) under 0.15 of PLAIN.
+    Regressing these bounds means the table stopped building long symbols."""
+    t = pq.read_table("/root/testdata/sf0.01/documents.parquet",
+                      columns=["text"])
+    arr = t["text"].combine_chunks()
+    ours, codec = _ours(arr)
+    assert codec == "fsst"
+    assert ours / arr.nbytes < 0.28, (ours, arr.nbytes)
+
+    tbl = cg.generate_arrow(0, 3000)
+    content = tbl["content"].combine_chunks()
+    ours_c, codec_c = _ours(content)
+    plain_c = len(enc.encode_block(content, enc.PLAIN))
+    assert codec_c == "linedict"
+    assert ours_c / plain_c < 0.15, (ours_c, plain_c)
