@@ -229,3 +229,47 @@ def test_compact_leaves_unfragmented_files_intact(spark, tmp_path):
             "whole-part generation files must stay byte-identical"
     dec = pl.decode_blocks(pl.read_blocks(spark, store))
     assert dec.count() == 3500
+
+
+def test_concurrent_commit_fence_aborts_and_cleans(spark, tmp_path, monkeypatch):
+    """Single-writer fence: if the lineage pointer epoch moves while a
+    manifest is being written (another committer landed first), the commit
+    must abort LOUDLY and delete its own manifest — a blind pointer PUT
+    would silently drop the other committer's fold."""
+    import glob
+    import json
+    import os
+
+    store = str(tmp_path / "s")
+    pl.run_encode(_docs(spark, 0, 200), store, columns=COLS,
+                  target_rows=100, resume=False)
+    # establish a pointer (epoch 1)
+    pl.repair_lineage(spark, store)
+    ptr_path = os.path.join(store, pl._LINEAGE_PTR)
+    with open(ptr_path) as f:
+        base_ptr = json.load(f)
+    assert base_ptr["epoch"] == 1
+
+    real_read = pl._read_lineage_ptr
+    calls = {"n": 0}
+
+    def racing_read(path):
+        ptr = real_read(path)
+        calls["n"] += 1
+        if calls["n"] == 2 and ptr is not None:
+            # simulate a committer that landed between our two reads
+            return {**ptr, "epoch": ptr["epoch"] + 1}
+        return ptr
+
+    monkeypatch.setattr(pl, "_read_lineage_ptr", racing_read)
+    lin = pl.read_lineage(spark, store)
+    with pytest.raises(RuntimeError, match="concurrent lineage commit"):
+        pl._commit_manifest(spark, store, lin)
+    monkeypatch.setattr(pl, "_read_lineage_ptr", real_read)
+    # the loser's manifest was GC'd; the winner's state is untouched
+    manifests = glob.glob(os.path.join(store, "manifests", "manifest-*"))
+    assert len(manifests) == 1
+    assert os.path.basename(manifests[0]) == base_ptr["manifest"]
+    with open(ptr_path) as f:
+        assert json.load(f) == base_ptr
+    assert pl.store_summary(spark, store)["rows"] == 200
